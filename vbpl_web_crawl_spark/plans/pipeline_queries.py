@@ -1,0 +1,436 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — each a (Spark plan, DuckDB oracle) pair
+over the driver's ``documents``/``embeddings`` tables.
+
+Scale design notes:
+- Dedup families follow the canonical shingle->signature->block->verify
+  pipeline: the only shuffles are (a) explode+groupBy doc for signatures
+  and (b) the band/bucket self-join, which at 100 TB is bounded by bucket
+  size (LSH), never an all-pairs cross join.
+- Hash parity between engines uses md5 (both produce identical hex) with
+  hex->int via Spark ``conv`` / DuckDB ``CAST('0x…' AS BIGINT)``.
+- Embedding math is float32 input upcast to float64, summed left-to-right
+  in both engines, so cosine values match exactly before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.functions import text as TX
+from vbpl_web_crawl_spark.plans.queries import _register
+from vbpl_web_crawl_spark.sources.tables import load_table
+
+# Shared normalization (must match the SQL fragments below exactly).
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _norm(text):
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def _tokens(text):
+    return F.split(_norm(text), " ")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting + punct ratio + quality score by language.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_stats_by_lang",
+    f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter({_TOKENS_SQL}, x -> x = 'the')) AS the_hits
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(punct_ratio), 6) AS avg_punct_ratio,
+       sum(the_hits) AS total_the_hits
+FROM t GROUP BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            TX.token_count_ws(F.col("text")).alias("n_tokens"),
+            TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+            TX.stopword_hits(F.col("text"), ("the",)).alias("the_hits"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+            F.sum("the_hits").cast("long").alias("total_the_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: marker-token argmax, compared against the labeled lang.
+# ---------------------------------------------------------------------------
+
+_LANGID_SCORES_SQL = f"""
+  SELECT lang,
+         len(list_filter({_TOKENS_SQL}, x -> x = 'the' OR x = 'a')) AS s_en,
+         len(list_filter({_TOKENS_SQL}, x -> x = 'el' OR x = 'la' OR x = 'los')) AS s_es,
+         len(list_filter({_TOKENS_SQL}, x -> x = 'của' OR x = 'và')) AS s_vi,
+         len(list_filter({_TOKENS_SQL}, x -> x = '的' OR x = '是')) AS s_zh
+  FROM documents
+"""
+
+
+@_register(
+    "langid_confusion",
+    f"""
+WITH scores AS ({_LANGID_SCORES_SQL}),
+pred AS (
+  SELECT lang AS actual_lang,
+         CASE WHEN greatest(s_en, s_es, s_vi, s_zh) = 0 THEN 'en'
+              WHEN s_en = greatest(s_en, s_es, s_vi, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_vi, s_zh) THEN 'es'
+              WHEN s_vi = greatest(s_en, s_es, s_vi, s_zh) THEN 'vi'
+              ELSE 'zh' END AS predicted_lang
+  FROM scores
+)
+SELECT actual_lang, predicted_lang, count(*) AS n
+FROM pred GROUP BY actual_lang, predicted_lang
+""",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            TX.lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group by normalized text; cluster id = min doc_id.
+# At scale the group key is fingerprint64 (xxhash64) so the shuffle moves
+# 8-byte keys, not document bodies — oracle uses the text itself because
+# DuckDB lacks xxhash64; cluster membership is identical.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact_clusters",
+    f"""
+SELECT min(doc_id) AS cluster_id, count(*) AS cluster_size,
+       min(n_chars) AS rep_chars
+FROM (SELECT doc_id, n_chars, {_NORM_SQL} AS norm_text FROM documents)
+GROUP BY norm_text
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars", _norm(F.col("text")).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("n_chars").alias("rep_chars"),
+        )
+        .select("cluster_id", "cluster_size", "rep_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: 3-word shingles, inverted-index self-join,
+# |A∩B| / |A∪B|. Blocking = the shingle join itself (never all-pairs).
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i : i + 2], ' ')
+                   for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingle
+    FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+  ) GROUP BY doc_id, shingle
+"""
+
+
+@_register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, (a.shingle == b.shingle) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs. Signature component i = lexicographic min
+# of md5(shingle || '|' || i) — identical hex in both engines, so the
+# banding and the candidate set match exactly. k=8 hashes, 4 bands of 2.
+# At 100 TB this is the dedup workhorse: shuffle cost is O(docs * bands),
+# and the verify step (exact Jaccard) runs only within buckets.
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 8
+_MINHASH_BANDS = 4  # rows per band = 2
+
+_MINHASH_SIG_SQL = f"""
+  SELECT doc_id,
+         {', '.join(f"min(md5(shingle || '|{i}')) AS h{i}" for i in range(_MINHASH_K))}
+  FROM ({_SHINGLES_SQL}) GROUP BY doc_id
+"""
+
+_BAND_KEYS_SQL = ", ".join(
+    f"h{2 * b} || '#' || h{2 * b + 1} AS band{b}" for b in range(_MINHASH_BANDS)
+)
+
+
+@_register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id, {_BAND_KEYS_SQL} FROM sig
+  ) UNPIVOT (band_key FOR band_id IN ({', '.join(f'band{b}' for b in range(_MINHASH_BANDS))}))
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.band_id = b.band_id
+ AND a.doc_id < b.doc_id
+""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"h{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(f"band{b}") for b in range(_MINHASH_BANDS)]),
+                F.array(
+                    *[
+                        F.concat(F.col(f"h{2 * b}"), F.lit("#"), F.col(f"h{2 * b + 1}"))
+                        for b in range(_MINHASH_BANDS)
+                    ]
+                ),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash document fingerprint: 16-bit simhash over distinct tokens, bit
+# source = md5 hex prefix -> int (identical both engines). Near-dup pairs
+# = equal simhash (Hamming-0 block; wider Hamming radii probe rotated
+# bands the same way).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_TOK_INT_SQL = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+
+
+@_register(
+    "fingerprint_simhash",
+    f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN ({_TOK_INT_SQL} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS t{j}" for j in range(_SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       {' + '.join(f"(CASE WHEN t{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))} AS simhash
+FROM bits
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
+    tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tallies = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(tok_int, j).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"t{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"t{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return tallies.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — brute-force cosine top-k (the correctness baseline).
+# Query vector = embedding of vec_id 0, broadcast to every partition; the
+# scan + dot product is embarrassingly parallel; top-k is
+# TakeOrderedAndProject (per-partition heap, no global sort).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    e = emb.filter(F.col("vec_id") != 0)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    joined = e.crossJoin(F.broadcast(qv))
+    cos = dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        joined.select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — sign-LSH bucketing (the scale path): 8 deterministic
+# integer hyperplanes -> 8 sign bits -> 256 buckets. At 100 TB the ANN
+# probe joins query buckets to candidate buckets instead of scanning all
+# vectors; here we materialize the bucket histogram (oracle-checked).
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane(h: int) -> list[int]:
+    # deterministic pseudo-random ±1/±2 weights, identical in SQL below
+    return [((d + 1) * (h + 3)) % 7 - 3 for d in range(_DIM)]
+
+
+_PLANES_SQL = ", ".join(
+    f"list_dot_product(embedding::DOUBLE[], [{', '.join(str(v) + '.0' for v in _plane(h))}]::DOUBLE[]) AS d{h}"
+    for h in range(_N_PLANES)
+)
+
+
+@_register(
+    "ann_lsh_bucket_histogram",
+    f"""
+WITH dots AS (SELECT vec_id, {_PLANES_SQL} FROM embeddings)
+SELECT {' + '.join(f'(CASE WHEN d{h} > 0 THEN {1 << h} ELSE 0 END)' for h in range(_N_PLANES))} AS bucket,
+       count(*) AS n_vectors
+FROM dots GROUP BY 1
+""",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot_plane(h: int):
+        plane = F.array(*[F.lit(float(v)) for v in _plane(h)])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for h in range(_N_PLANES):
+        term = F.when(dot_plane(h) > 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return emb.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
