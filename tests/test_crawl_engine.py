@@ -1,0 +1,133 @@
+"""Crawl engine vs single-threaded oracle: exact visit-order and
+seen-set equality, politeness budgets, retries, robots, resume
+(north_rule criteria; SURVEY.md §5.2 items 2/5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.crawl.engine import CrawlConfig, CrawlEngine
+from vbpl_web_crawl_spark.crawl.oracle import run_oracle
+from vbpl_web_crawl_spark.sources import images as IMG
+from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+CFG = CrawlConfig(
+    site=SITE.SiteConfig(
+        n_pages=2,
+        docs_per_page=10,
+        related_per_doc=2,
+        max_attachments=2,
+        fault_every=7,
+        private_every=5,
+    ),
+    round_window_s=30.0,
+    max_retries=3,
+    n_seen_partitions=4,
+    bloom_bits=1 << 16,
+    cuckoo_buckets=1 << 10,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    eng = CrawlEngine(spark, CFG, ckpt)
+    manifest = eng.run()
+    oracle = run_oracle(CFG.site, CFG.robots, CFG.round_window_s, CFG.max_retries)
+    return eng, manifest, oracle
+
+
+def test_visit_order_matches_oracle(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    engine_order = [
+        r.url for r in state["visit_log"].orderBy("visit_seq").select("url").collect()
+    ]
+    assert engine_order == oracle.visit_order
+
+
+def test_seen_set_matches_oracle(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    engine_urls = {r.url for r in state["enqueue_log"].select("url").collect()}
+    assert engine_urls == oracle.seen
+    # exact hash table is consistent with the url log (no collisions here)
+    assert state["seen_urls"].count() == len(engine_urls)
+
+
+def test_politeness_budget_never_exceeded(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    per_round = (
+        state["visit_log"].groupBy("round", "host").count().collect()
+    )
+    for row in per_round:
+        budget = eng._budget_by_host.get(row.host, 1)
+        assert row["count"] <= budget, (row.host, row["round"])
+
+
+def test_robots_disallowed_never_fetched(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    n_private = state["visit_log"].filter(F.col("url").contains("/private/")).count()
+    assert n_private == 0
+
+
+def test_retries_requeued_and_succeed(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    vl = state["visit_log"]
+    failed = vl.filter(F.col("status") >= 500)
+    assert failed.count() > 0, "fixture must inject faults"
+    # every failed URL is visited again with retry_count+1 and succeeds
+    f = failed.select(F.col("url").alias("u"), F.col("retry_count").alias("rc"))
+    again = vl.join(f, (vl.url == f.u) & (vl.retry_count == f.rc + 1), "inner")
+    assert again.count() == failed.count()
+    assert again.filter(F.col("status") == 200).count() == failed.count()
+
+
+def test_documents_corpus_invariants(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    docs = state["documents"].collect()
+    assert {d.image_id for d in docs} == oracle.images
+    for d in docs[:20]:
+        px = IMG.synth_pixels(d.image_id)
+        dec = IMG.decode_image(bytes(d.bytes), d.fmt)
+        assert dec.shape == (d.h, d.w, 3)
+        if d.fmt == "png":
+            assert np.array_equal(dec, px)
+        else:
+            assert IMG.psnr(px, dec) >= 40.0
+        assert d.caption == IMG.synth_caption(d.image_id)
+        assert IMG.phash64(dec) == d.phash
+
+
+def test_resume_bit_identical(spark, tmp_path_factory, crawl):
+    """Kill after round 2, resume, compare final state to the
+    uninterrupted run (SURVEY §5.2 item 5)."""
+    eng, manifest, oracle = crawl
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt_resume"))
+    partial_cfg = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2})
+    eng_partial = CrawlEngine(spark, partial_cfg, ckpt2)
+    eng_partial.run()
+    assert eng_partial.read_manifest()["round"] == 2
+    # resume with the full config from the same checkpoint
+    eng_resumed = CrawlEngine(spark, CFG, ckpt2)
+    m2 = eng_resumed.run(resume=True)
+    assert m2["round"] == manifest["round"]
+    a = eng.final_state()
+    b = eng_resumed.final_state()
+    for tbl in ("visit_log", "enqueue_log", "documents"):
+        ac = sorted(map(str, a[tbl].collect()))
+        bc = sorted(map(str, b[tbl].collect()))
+        assert ac == bc, tbl
+
+
+def test_metrics_recorded(crawl):
+    eng, manifest, oracle = crawl
+    state = eng.final_state()
+    m = state["metrics"]
+    assert m.count() > 0
+    total_fetched = m.agg(F.sum("pages_fetched")).collect()[0][0]
+    assert total_fetched == len(oracle.visit_order)

@@ -1,0 +1,511 @@
+"""The iterative frontier engine: BSP crawl rounds as DataFrame programs
+with per-round atomic checkpoints (SURVEY.md §3.1 Spark shape, §7 steps
+3/5/8).
+
+Each round = one deterministic BSP superstep:
+
+  1. SCHEDULE  — join frontier to robots (broadcast), rank each host's
+                 rows by the canonical priority (depth, doc_type_rank,
+                 discovery_seq) and cut at the host's politeness budget.
+  2. VISIT     — assign global visit_seq by the same priority over the
+                 scheduled set (this is the reference's canonical crawl
+                 order: phase -> page -> in-page position, SURVEY §4).
+  3. FETCH     — mapInPandas over host-salted partitions; the synthetic
+                 site function replaces the network (tests/FIXTURES §2);
+                 attachments materialize image+caption rows.
+  4. RETRY     — failed rows: cuckoo+exact DELETE of their hash, then
+                 re-admission through the normal unseen gate with their
+                 original discovery_seq (reference backoff semantics,
+                 /root/reference/app/service/anle.py:37-57).
+  5. EXPAND    — extracted links: canonicalize -> in-round dedup (first
+                 discovery wins) -> robots filter -> Bloom-prefiltered
+                 anti-join vs seen -> assign discovery_seq in canonical
+                 order -> union into next round's frontier.
+  6. CHECKPOINT— write all state tables under round=K dir, then flip the
+                 manifest pointer (atomic resume point).
+
+Determinism: no wall clock anywhere in the dataflow (metrics record
+real elapsed time but never feed back into scheduling), so a killed and
+resumed run, or the same run at different parallelism, produces the
+bit-identical visit order and seen set — verified against the
+single-threaded oracle in crawl/oracle.py.
+
+Scale notes: frontier/seen joins are keyed on url_hash (8-byte shuffle
+keys); the fetch stage repartitions by (host, salt) so one hot host
+(vbpl.vn dominates the reference universe) spreads over per_host_slots
+tasks while the budget caps its total rows; AQE handles residual skew.
+State tables are plain parquet here — on a cluster they are Iceberg
+tables and step 6 is a single multi-table snapshot commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vbpl_web_crawl_spark.crawl import politeness as P
+from vbpl_web_crawl_spark.functions.scalars import canonicalize_url, url_hash, url_host
+from vbpl_web_crawl_spark.operators import seen as SEEN
+from vbpl_web_crawl_spark.sources import images as IMG
+from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("doc_type", T.StringType(), False),
+        T.StructField("doc_type_rank", T.IntegerType(), False),
+        T.StructField("discovery_seq", T.LongType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+    ]
+)
+
+_LINK_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("l_url", T.StringType()),
+            T.StructField("l_doc_type", T.StringType()),
+            T.StructField("in_page_pos", T.IntegerType()),
+        ]
+    )
+)
+
+FETCH_SCHEMA = T.StructType(
+    FRONTIER_SCHEMA.fields
+    + [
+        T.StructField("visit_seq", T.LongType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("image_id", T.StringType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("links", _LINK_TYPE, True),
+    ]
+)
+
+DOC_TYPE_RANK = SITE.DOC_TYPE_RANK
+
+STATE_TABLES = (
+    "frontier",
+    "seen_urls",
+    "sketches",
+    "visit_log",
+    "documents",
+    "metrics",
+    "enqueue_log",
+)
+
+
+@dataclass
+class CrawlConfig:
+    site: SITE.SiteConfig = field(default_factory=SITE.SiteConfig)
+    robots: dict = field(default_factory=lambda: dict(SITE.ROBOTS))
+    round_window_s: float = 60.0
+    max_retries: int = 3  # app/service/anle.py:37
+    max_rounds: int = 1000
+    n_seen_partitions: int = 8
+    per_host_slots: int = 8  # hot-host salt fan-out (reference: 8 threads)
+    bloom_bits: int = 1 << 20
+    cuckoo_buckets: int = 1 << 14
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, ckpt_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.ckpt_dir = ckpt_dir
+        self.robots = P.robots_df(spark, cfg.robots)
+        self._budget_by_host = {
+            host: P.host_budget(r.get("crawl_delay", P.DEFAULT_CRAWL_DELAY), cfg.round_window_s)
+            for host, r in cfg.robots.items()
+        }
+
+    # ---------------- state I/O ----------------
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.ckpt_dir, f"round={rnd}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "manifest.json")
+
+    def read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_state(self, rnd: int, tables: dict[str, DataFrame], counters: dict) -> None:
+        rdir = self._round_dir(rnd)
+        tmp = rdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        for name, df in tables.items():
+            df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, name))
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        os.rename(tmp, rdir)
+        manifest = {"round": rnd, **counters}
+        mp = self._manifest_path() + ".tmp"
+        with open(mp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp, self._manifest_path())
+
+    def _read_state(self, rnd: int) -> dict[str, DataFrame]:
+        rdir = self._round_dir(rnd)
+        return {
+            name: self.spark.read.parquet(os.path.join(rdir, name)) for name in STATE_TABLES
+        }
+
+    # ---------------- seed ----------------
+
+    def seed_frontier(self) -> DataFrame:
+        seeds = SITE.seed_urls(self.cfg.site)
+        rows = [(u, dt, i) for i, (u, dt) in enumerate(seeds)]
+        df = self.spark.createDataFrame(rows, "url string, doc_type string, seed_pos long")
+        return (
+            df.withColumn("url", canonicalize_url(F.col("url")))
+            .withColumn("url_hash", F.xxhash64(F.col("url")))
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("doc_type_rank", self._rank_col(F.col("doc_type")))
+            .withColumn("discovery_seq", F.col("seed_pos"))
+            .withColumn("retry_count", F.lit(0))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+    @staticmethod
+    def _rank_col(doc_type_col):
+        expr = F.lit(99)
+        for dt, rank in sorted(DOC_TYPE_RANK.items(), key=lambda kv: -kv[1]):
+            expr = F.when(doc_type_col == dt, F.lit(rank)).otherwise(expr)
+        return expr.cast("int")
+
+    # ---------------- one round ----------------
+
+    def _fetch(self, scheduled: DataFrame) -> DataFrame:
+        cfg_site = self.cfg.site
+        in_cols = [f.name for f in FRONTIER_SCHEMA.fields] + ["visit_seq"]
+
+        def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    page = SITE.fetch(cfg_site, row.url, attempt=row.retry_count)
+                    rec = {c: getattr(row, c) for c in in_cols}
+                    rec.update(
+                        status=page.status,
+                        kind=page.kind,
+                        caption=page.caption,
+                        image_id=page.image_id,
+                        bytes=None,
+                        w=None,
+                        h=None,
+                        fmt=None,
+                        phash=None,
+                        links=[
+                            {"l_url": u, "l_doc_type": dt, "in_page_pos": pos}
+                            for (u, dt, pos) in page.links
+                        ],
+                    )
+                    if page.image_id is not None:
+                        img = IMG.synth_image_record(page.image_id)
+                        rec.update(
+                            bytes=img["bytes"],
+                            w=img["w"],
+                            h=img["h"],
+                            fmt=img["fmt"],
+                            caption=img["caption"],
+                            phash=img["phash"],
+                        )
+                    out.append(rec)
+                batch = pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
+                # nullable Int64 built from the raw Python ints: letting
+                # pd.DataFrame infer a column with Nones upcasts to
+                # float64, which corrupts 64-bit hashes (> 2^53)
+                for c in ("w", "h", "phash"):
+                    batch[c] = pd.array([r[c] for r in out], dtype="Int64")
+                yield batch
+
+        # host-salted repartition: bounds per-host concurrency while
+        # spreading a hot host over per_host_slots tasks
+        salted = scheduled.repartition(
+            max(self.cfg.per_host_slots, 1),
+            F.col("host"),
+            F.pmod(F.col("url_hash"), F.lit(self.cfg.per_host_slots)),
+        )
+        return salted.mapInPandas(fetch_batches, FETCH_SCHEMA)
+
+    def run(self, resume: bool = True) -> dict:
+        """Run rounds until the frontier drains; returns final manifest."""
+        manifest = self.read_manifest() if resume else None
+        if manifest is None:
+            state = {
+                "frontier": self.seed_frontier(),
+                "seen_urls": self.seed_frontier().select(
+                    "url_hash",
+                    SEEN.partition_of(F.col("url_hash"), self.cfg.n_seen_partitions).alias(
+                        "partition_id"
+                    ),
+                ),
+                "sketches": SEEN.empty_sketches(
+                    self.spark,
+                    self.cfg.n_seen_partitions,
+                    self.cfg.bloom_bits,
+                    self.cfg.cuckoo_buckets,
+                ),
+                "visit_log": self.spark.createDataFrame(
+                    [], "visit_seq long, round int, url string, url_hash long, host string, "
+                    "depth int, doc_type string, retry_count int, status int",
+                ),
+                "documents": self.spark.createDataFrame(
+                    [],
+                    "image_id string, bytes binary, w int, h int, fmt string, "
+                    "caption string, phash long, src_url string, visit_seq long",
+                ),
+                "metrics": self.spark.createDataFrame(
+                    [],
+                    "round int, host string, pages_fetched long, failures long, "
+                    "new_urls long, wall_ms long",
+                ),
+                "enqueue_log": self.spark.createDataFrame(
+                    [], "url string, url_hash long, round int"
+                ),
+            }
+            # seed the sketches with the seed hashes; log seed enqueues
+            state["seen_urls"], state["sketches"] = SEEN.add_to_seen(
+                state["frontier"],
+                self.spark.createDataFrame([], "url_hash long, partition_id int"),
+                state["sketches"],
+                self.cfg.n_seen_partitions,
+            )
+            state["enqueue_log"] = state["frontier"].select(
+                "url", "url_hash", F.lit(0).alias("round")
+            )
+            n_seeds = state["frontier"].count()
+            counters = {"next_seq": n_seeds, "total_visits": 0, "pending": n_seeds}
+            self._write_state(0, state, counters)
+            manifest = {"round": 0, **counters}
+
+        rnd = manifest["round"]
+        while rnd < self.cfg.max_rounds and manifest.get("pending", 1) > 0:
+            state = self._read_state(rnd)
+            rnd += 1
+            manifest = self._run_round(rnd, state, manifest)
+        return manifest
+
+    def _run_round(self, rnd: int, state: dict[str, DataFrame], manifest: dict) -> dict:
+        t0 = time.time()
+        cfg = self.cfg
+        next_seq = manifest["next_seq"]
+        total_visits = manifest["total_visits"]
+
+        frontier = state["frontier"]
+
+        # 1. SCHEDULE — politeness budget per host, priority order inside
+        budgets = self.spark.createDataFrame(
+            [(h, b) for h, b in self._budget_by_host.items()], "host string, budget int"
+        )
+        prio = Window.partitionBy("host").orderBy("depth", "doc_type_rank", "discovery_seq")
+        ranked = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
+            "host_rank", F.row_number().over(prio)
+        )
+        scheduled = ranked.filter(
+            F.col("host_rank") <= F.coalesce(F.col("budget"), F.lit(1))
+        ).drop("budget", "host_rank")
+        deferred = ranked.filter(
+            F.col("host_rank") > F.coalesce(F.col("budget"), F.lit(1))
+        ).drop("budget", "host_rank")
+
+        # 2. VISIT — canonical global order (SURVEY §4 determinism note)
+        visit_w = Window.orderBy("depth", "doc_type_rank", "discovery_seq")
+        scheduled = scheduled.withColumn(
+            "visit_seq",
+            (F.row_number().over(visit_w) + F.lit(total_visits) - 1).cast("long"),
+        )
+
+        # 3. FETCH
+        fetched = self._fetch(scheduled).persist()
+        n_scheduled = fetched.count()  # materialize once
+
+        visit_rows = fetched.select(
+            "visit_seq",
+            F.lit(rnd).alias("round"),
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            "doc_type",
+            "retry_count",
+            "status",
+        )
+        new_docs = fetched.filter(F.col("image_id").isNotNull()).select(
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+            F.col("url").alias("src_url"),
+            "visit_seq",
+        )
+
+        # 4. RETRY — delete failed hashes so re-admission passes the gate
+        failed = fetched.filter(
+            (F.col("status") >= 500) & (F.col("retry_count") < cfg.max_retries)
+        )
+        seen_urls, sketches = state["seen_urls"], state["sketches"]
+        if failed.limit(1).count() > 0:  # cheap on the persisted frame
+            seen_urls, sketches = SEEN.delete_from_seen(
+                failed.select("url_hash"), seen_urls, sketches, cfg.n_seen_partitions
+            )
+        retry_candidates = failed.select(
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            "doc_type",
+            "doc_type_rank",
+            F.col("discovery_seq"),
+            (F.col("retry_count") + 1).alias("retry_count"),
+            F.lit(0).alias("is_new"),
+            F.lit(None).cast("long").alias("parent_visit_seq"),
+            F.lit(None).cast("int").alias("in_page_pos"),
+        )
+
+        # 5. EXPAND — links in canonical discovery order
+        links = (
+            fetched.filter(F.col("status") == 200)
+            .select("visit_seq", F.posexplode_outer("links").alias("pos", "link"))
+            .filter(F.col("link").isNotNull())
+            .select(
+                canonicalize_url(F.col("link.l_url")).alias("url"),
+                F.col("link.l_doc_type").alias("doc_type"),
+                F.col("visit_seq").alias("parent_visit_seq"),
+                F.col("link.in_page_pos").alias("in_page_pos"),
+            )
+            .withColumn("url_hash", F.xxhash64(F.col("url")))
+            .withColumn("host", url_host(F.col("url")))
+        )
+        # parent depth +1; join depth from scheduled
+        parent_depth = fetched.select(
+            F.col("visit_seq").alias("parent_visit_seq"), F.col("depth").alias("p_depth")
+        )
+        links = links.join(parent_depth, "parent_visit_seq").withColumn(
+            "depth", (F.col("p_depth") + 1).cast("int")
+        )
+
+        # robots disallow filter (never enqueued, never seen)
+        links = (
+            links.join(F.broadcast(self.robots), "host", "left")
+            .filter(~F.coalesce(P.is_disallowed(F.col("url"), F.col("disallow")), F.lit(False)))
+            .drop("crawl_delay", "disallow", "p_depth")
+            .withColumn("doc_type_rank", self._rank_col(F.col("doc_type")))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("is_new", F.lit(1))
+            .withColumn("discovery_seq", F.lit(None).cast("long"))
+            .select([c for c in retry_candidates.columns])
+        )
+
+        candidates = retry_candidates.unionByName(links)
+        # in-round dedup: retries first, then earliest discovery wins
+        dedup_w = Window.partitionBy("url_hash").orderBy(
+            "is_new", F.coalesce(F.col("parent_visit_seq"), F.lit(-1)),
+            F.coalesce(F.col("in_page_pos"), F.lit(-1)),
+        )
+        candidates = (
+            candidates.withColumn("dup_rank", F.row_number().over(dedup_w))
+            .filter(F.col("dup_rank") == 1)
+            .drop("dup_rank")
+        )
+
+        # Bloom-prefiltered anti-join vs seen (retries pass: just deleted)
+        admitted = SEEN.filter_unseen(candidates, seen_urls, sketches, cfg.n_seen_partitions)
+
+        # assign discovery_seq to new links in canonical order
+        seq_w = Window.orderBy(
+            F.coalesce(F.col("parent_visit_seq"), F.lit(-1)),
+            F.coalesce(F.col("in_page_pos"), F.lit(-1)),
+            "url",
+        )
+        new_admits = admitted.filter(F.col("is_new") == 1).withColumn(
+            "discovery_seq", F.row_number().over(seq_w) + F.lit(next_seq) - 1
+        )
+        retry_admits = admitted.filter(F.col("is_new") == 0)
+        admitted_final = new_admits.unionByName(retry_admits).select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
+        ).persist()
+        n_new = new_admits.count()
+        n_admitted = admitted_final.count()
+
+        if n_admitted > 0:
+            seen_urls, sketches = SEEN.add_to_seen(
+                admitted_final, seen_urls, sketches, cfg.n_seen_partitions
+            )
+
+        new_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(
+            admitted_final
+        )
+
+        wall_ms = int((time.time() - t0) * 1000)
+        round_metrics = (
+            fetched.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("pages_fetched"),
+                F.sum((F.col("status") >= 400).cast("long")).alias("failures"),
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "host",
+                "pages_fetched",
+                "failures",
+                F.lit(n_new).cast("long").alias("new_urls"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+            )
+        )
+
+        counters = {
+            "next_seq": next_seq + n_new,
+            "total_visits": total_visits + n_scheduled,
+            "pending": manifest.get("pending", n_scheduled) - n_scheduled + n_admitted,
+        }
+        new_state = {
+            "frontier": new_frontier,
+            "seen_urls": seen_urls,
+            "sketches": sketches,
+            "visit_log": state["visit_log"].unionByName(visit_rows),
+            "documents": state["documents"].unionByName(new_docs),
+            "metrics": state["metrics"].unionByName(round_metrics),
+            "enqueue_log": state["enqueue_log"].unionByName(
+                admitted_final.filter(F.col("retry_count") == 0).select(
+                    "url", "url_hash", F.lit(rnd).alias("round")
+                )
+            ),
+        }
+        self._write_state(rnd, new_state, counters)
+        fetched.unpersist()
+        admitted_final.unpersist()
+        return {"round": rnd, **counters}
+
+    # ---------------- inspection ----------------
+
+    def final_state(self) -> dict[str, DataFrame]:
+        manifest = self.read_manifest()
+        assert manifest is not None, "no checkpoint"
+        return self._read_state(manifest["round"])

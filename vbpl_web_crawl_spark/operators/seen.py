@@ -1,0 +1,203 @@
+"""Distributed URL-seen set: partitioned Bloom/cuckoo sketches + exact
+key table, exposed as DataFrame operators (SURVEY.md §2.1 J3, §7 step 4).
+
+Data model (FIXTURES.md §3):
+- ``seen_urls(url_hash: long, partition_id: int)`` — exact ground truth.
+- ``sketches(partition_id: int, bloom_bytes: binary, cuckoo_bytes:
+  binary)`` — one row per hash-bucket partition.
+
+The reference probes MySQL per row before every insert
+(/root/reference/app/service/vbpl.py:147-148 and 7 sibling sites); at
+10^10 URLs that is the scaling wall. Here:
+
+1. ``filter_unseen``: cogroup(frontier, sketches) by partition_id, batch
+   Bloom membership inside an Arrow batch. Bloom-negative rows are
+   *definitively new* and skip the exact join entirely; only
+   Bloom-positive rows (seen + false positives) do the exact left-anti
+   join. At a steady-state crawl most candidate URLs are already seen,
+   so the exact join shrinks to the FP rate of the filter — and the
+   final seen set stays exactly equal to the reference's.
+2. ``add`` / ``delete``: the same cogroup shape updates sketch bytes;
+   delete (cuckoo) is the retry-requeue primitive.
+
+Partitioning: partition_id = pmod(url_hash, n_partitions) — the same
+bucketing used by the exact table, so both joins are co-partitioned and
+AQE can split skewed buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vbpl_web_crawl_spark.operators.sketches import BloomFilter, CuckooFilter
+
+SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("bloom_bytes", T.BinaryType(), True),
+        T.StructField("cuckoo_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def partition_of(url_hash_col, n_partitions: int):
+    return F.pmod(url_hash_col, F.lit(n_partitions)).cast("int")
+
+
+def empty_sketches(
+    spark: SparkSession, n_partitions: int, bloom_bits: int = 1 << 20, cuckoo_buckets: int = 1 << 14
+) -> DataFrame:
+    rows = [
+        (
+            p,
+            BloomFilter(bloom_bits).to_bytes(),
+            CuckooFilter(cuckoo_buckets).to_bytes(),
+        )
+        for p in range(n_partitions)
+    ]
+    return spark.createDataFrame(rows, SKETCH_SCHEMA)
+
+
+def _load(sk_pdf: pd.DataFrame) -> tuple[BloomFilter, CuckooFilter]:
+    row = sk_pdf.iloc[0]
+    return BloomFilter.from_bytes(bytes(row.bloom_bytes)), CuckooFilter.from_bytes(
+        bytes(row.cuckoo_bytes)
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen_urls: DataFrame,
+    sketches: DataFrame,
+    n_partitions: int,
+) -> DataFrame:
+    """Rows of ``candidates`` (must carry ``url_hash``) whose hash is not
+    in the seen set. Bloom prefilter -> exact anti-join on survivors."""
+    cand = candidates.withColumn("partition_id", partition_of(F.col("url_hash"), n_partitions))
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    col_order = [f.name for f in out_schema.fields]
+
+    def probe(key, cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=col_order)
+        if sk_pdf.empty:
+            cand_pdf = cand_pdf.assign(maybe_seen=False)
+        else:
+            bloom, _ = _load(sk_pdf)
+            cand_pdf = cand_pdf.assign(
+                maybe_seen=bloom.contains(cand_pdf["url_hash"].to_numpy(dtype=np.int64))
+            )
+        return cand_pdf[col_order]
+
+    flagged = (
+        cand.groupBy("partition_id")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(probe, out_schema)
+    )
+    definitely_new = flagged.filter(~F.col("maybe_seen"))
+    # exact check only for bloom-positive rows (FPs + true seen)
+    suspects = flagged.filter(F.col("maybe_seen"))
+    confirmed_new = suspects.join(
+        seen_urls.select("url_hash"), "url_hash", "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new).drop("maybe_seen", "partition_id")
+
+
+def add_to_seen(
+    new_hashes: DataFrame,
+    seen_urls: DataFrame,
+    sketches: DataFrame,
+    n_partitions: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (new seen_urls, new sketches) with ``new_hashes``
+    (column ``url_hash``) inserted. Both updates are co-partitioned
+    cogroups — no driver-side collect."""
+    hashes = (
+        new_hashes.select("url_hash")
+        .distinct()
+        .withColumn("partition_id", partition_of(F.col("url_hash"), n_partitions))
+    )
+
+    def update(key, h_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if sk_pdf.empty:
+            bloom, cuckoo = BloomFilter(), CuckooFilter()
+        else:
+            bloom, cuckoo = _load(sk_pdf)
+        keys = h_pdf["url_hash"].to_numpy(dtype=np.int64)
+        bloom.add(keys)
+        cuckoo.add(keys)
+        return pd.DataFrame(
+            {
+                "partition_id": [int(key[0])],
+                "bloom_bytes": [bloom.to_bytes()],
+                "cuckoo_bytes": [cuckoo.to_bytes()],
+            }
+        )
+
+    updated = (
+        hashes.groupBy("partition_id")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(update, SKETCH_SCHEMA)
+    )
+    # partitions with no new keys keep their old sketch row
+    untouched = sketches.join(
+        hashes.select("partition_id").distinct(), "partition_id", "left_anti"
+    )
+    new_sketches = updated.unionByName(untouched)
+    new_seen = seen_urls.unionByName(
+        hashes.select("url_hash", "partition_id")
+    ).dropDuplicates(["url_hash"])
+    return new_seen, new_sketches
+
+
+def delete_from_seen(
+    del_hashes: DataFrame,
+    seen_urls: DataFrame,
+    sketches: DataFrame,
+    n_partitions: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Un-mark hashes (retry requeue): cuckoo delete + exact anti-join.
+
+    The Bloom filter cannot delete — after a delete it may report a
+    false positive for the removed key, which the exact anti-join then
+    overrides, so re-admission is still correct (and the cuckoo filter,
+    which *can* delete, is the membership source for retry accounting).
+    """
+    hashes = (
+        del_hashes.select("url_hash")
+        .distinct()
+        .withColumn("partition_id", partition_of(F.col("url_hash"), n_partitions))
+    )
+
+    def update(key, h_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if sk_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in SKETCH_SCHEMA.fields])
+        bloom, cuckoo = _load(sk_pdf)
+        cuckoo.delete(h_pdf["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "partition_id": [int(key[0])],
+                "bloom_bytes": [bloom.to_bytes()],
+                "cuckoo_bytes": [cuckoo.to_bytes()],
+            }
+        )
+
+    updated = (
+        hashes.groupBy("partition_id")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(update, SKETCH_SCHEMA)
+    )
+    untouched = sketches.join(
+        hashes.select("partition_id").distinct(), "partition_id", "left_anti"
+    )
+    new_sketches = updated.unionByName(untouched)
+    new_seen = seen_urls.join(hashes.select("url_hash"), "url_hash", "left_anti")
+    return new_seen, new_sketches

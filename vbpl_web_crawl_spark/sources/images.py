@@ -1,0 +1,292 @@
+"""Synthetic image payloads + pure-numpy codecs for the image+caption
+corpus (BASELINE.json input_hint).
+
+The reference downloads scanned legal documents as PDF/DOC binaries
+(/root/reference/app/service/get_pdf.py:63-65); here the "scan" is a
+deterministic synthetic image so the per-row invariants (decoded-pixel
+allclose / PSNR >= 40 dB, phash recomputation) are verifiable without
+network or external decoders.
+
+Container has no PIL/imageio, so:
+- ``png``: real PNG (RGB8, filter 0) encoded/decoded with zlib+numpy —
+  lossless, byte-exact roundtrip.
+- ``vdct``: a deterministic lossy codec (8x8 block DCT + quantization +
+  zlib), standing in for JPEG. Loss is bounded so PSNR >= 40 dB at the
+  default quality — the same invariant a real JPEG q=85 path satisfies.
+  A production deployment swaps in PIL/libjpeg behind decode_image();
+  the Spark-side plumbing (binary column, Arrow batches, schema) is
+  identical and is what these tests exercise.
+
+Everything is vectorized numpy over whole images; the Spark entry points
+batch rows through mapInPandas (no per-row Python at the row level —
+the loop is per image inside an Arrow batch, which is the intended
+pattern for opaque binary payloads).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# PNG (lossless) — minimal RGB8 encoder/decoder, filter type 0 only.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """RGB8 HxWx3 uint8 -> PNG bytes (filter 0, zlib level 6)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB8 HxWx3 (our own filter-0 PNGs only)."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, idat, w, h = 8, b"", 0, 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
+            assert bits == 8 and ctype == 2, "only RGB8 supported"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# --------------------------------------------------------------------------
+# vdct (deterministic lossy) — 8x8 block DCT, quantize, zlib.
+# --------------------------------------------------------------------------
+
+_VDCT_MAGIC = b"VDCT"
+
+_DCT8 = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT8[_k, _n] = np.cos(np.pi * (_n + 0.5) * _k / 8.0)
+_DCT8 *= np.sqrt(2.0 / 8.0)
+_DCT8[0] /= np.sqrt(2.0)
+
+# flat quantization step; 4.0 keeps worst-case error ~2/channel -> PSNR>40
+_Q_STEP = 4.0
+
+
+def _blockify(chan: np.ndarray) -> np.ndarray:
+    h, w = chan.shape
+    return chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _unblockify(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return blocks.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def vdct_encode(pixels: np.ndarray) -> bytes:
+    """RGB8 HxWx3 (H,W multiples of 8) -> lossy-compressed bytes."""
+    h, w, c = pixels.shape
+    assert h % 8 == 0 and w % 8 == 0 and c == 3
+    coeffs = []
+    for ch in range(3):
+        blocks = _blockify(pixels[:, :, ch].astype(np.float64) - 128.0)
+        dct = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+        q = np.round(dct / _Q_STEP).astype(np.int16)
+        coeffs.append(q)
+    payload = zlib.compress(np.stack(coeffs).tobytes(), 6)
+    return _VDCT_MAGIC + struct.pack(">HH", w, h) + payload
+
+
+def vdct_decode(data: bytes) -> np.ndarray:
+    assert data[:4] == _VDCT_MAGIC, "not vdct"
+    w, h = struct.unpack(">HH", data[4:8])
+    q = np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16).reshape(
+        3, h // 8, w // 8, 8, 8
+    )
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for ch in range(3):
+        dct = q[ch].astype(np.float64) * _Q_STEP
+        blocks = np.einsum("ji,abjk,kl->abil", _DCT8, dct, _DCT8)
+        out[:, :, ch] = np.clip(
+            np.round(_unblockify(blocks, h, w) + 128.0), 0, 255
+        ).astype(np.uint8)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Generic entry points used by the Spark UDFs
+# --------------------------------------------------------------------------
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "vdct":
+        return vdct_encode(pixels)
+    raise NotImplementedError(
+        f"format {fmt!r}: real JPEG/WebP decode requires PIL/libjpeg, "
+        "not present in this container — plug in here."
+    )
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "vdct":
+        return vdct_decode(data)
+    raise NotImplementedError(f"format {fmt!r} not available in this container")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash: 32x32 grayscale -> 32-pt DCT -> top-left 8x8 (minus DC)
+# -> median threshold -> 64-bit int.
+#
+# The DCT runs in scaled int64 arithmetic, NOT float matmul: float `@`
+# dispatches to BLAS whose reduction order varies with thread count, so
+# the same image could hash differently in a Spark worker vs the driver.
+# Integer addition is associative — the hash is bit-stable everywhere.
+# --------------------------------------------------------------------------
+
+_DCT32_INT = np.zeros((32, 32), dtype=np.int64)
+for _k in range(32):
+    for _n in range(32):
+        _DCT32_INT[_k, _n] = round(np.cos(np.pi * (_n + 0.5) * _k / 32.0) * (1 << 14))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    h, w, _ = pixels.shape
+    gray16 = pixels.astype(np.int64).sum(axis=2)  # 3x gray, scale-invariant
+    # block-sum resize to 32x32 (h, w are multiples of 32 in our corpus;
+    # index-sampling fallback otherwise) — sums, not means: the median
+    # threshold is scale-invariant so no division is needed
+    if h % 32 == 0 and w % 32 == 0:
+        bh, bw = h // 32, w // 32
+        small = gray16.reshape(32, bh, 32, bw).sum(axis=(1, 3)) // (bh * bw)
+    else:
+        yi = (np.arange(32) * h) // 32
+        xi = (np.arange(32) * w) // 32
+        small = gray16[np.ix_(yi, xi)]
+    dct = _DCT32_INT @ small @ _DCT32_INT.T  # int64 matmul: deterministic
+    block = dct[:8, :8].flatten()[1:]
+    med = int(np.median(block))
+    bits = (block > med).astype(np.uint64)
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= b << np.uint64(i)
+    return int(val.astype(np.int64))  # two's complement into Spark LongType
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthetic "scan" generation
+# --------------------------------------------------------------------------
+
+
+def splitmix64(x: np.ndarray | int):
+    """Deterministic 64-bit mix (public-domain splitmix64 constants)."""
+    x = np.uint64(x) if np.isscalar(x) else x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = x
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        return z ^ (z >> np.uint64(31))
+
+
+def synth_pixels(image_id: str) -> np.ndarray:
+    """Pixels are a pure function of the image_id (FIXTURES.md §1):
+    a banded 'scanned page' texture — light background, dark text-like
+    rows — so lossy compression behaves like it would on real scans."""
+    seed = int(splitmix64(zlib.crc32(image_id.encode()) & 0xFFFFFFFF))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    dims = [64, 128, 256]
+    h = dims[seed % 3]
+    w = dims[(seed // 3) % 3]
+    img = np.full((h, w, 3), 235, dtype=np.float64)
+    # text-like dark bands every 8 rows
+    n_lines = h // 8
+    line_dark = rng.integers(20, 90, size=n_lines)
+    for i in range(n_lines):
+        rows = slice(i * 8 + 2, i * 8 + 6)
+        cols = slice(4, w - 4 - int(rng.integers(0, w // 4)))
+        img[rows, cols, :] = line_dark[i]
+    img += rng.normal(0, 2.0, size=img.shape)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+_TOPICS = (
+    "quản lý đất đai",
+    "thuế thu nhập doanh nghiệp",
+    "bảo vệ môi trường",
+    "giao thông đường bộ",
+    "lao động và việc làm",
+    "giáo dục đại học",
+    "y tế dự phòng",
+    "đầu tư công",
+)
+
+
+def synth_caption(image_id: str) -> str:
+    """Deterministic Vietnamese-like title keyed by image_id
+    (FIXTURES.md §1; caption ↔ reference title/metadata text)."""
+    seed = int(splitmix64(zlib.crc32(image_id.encode()) & 0xFFFFFFFF))
+    n = seed % 900 + 100
+    year = 2000 + (seed // 7) % 25
+    topic = _TOPICS[(seed // 11) % len(_TOPICS)]
+    return f"Nghị định số {n}/{year}/NĐ-CP về {topic}"
+
+
+def synth_image_record(image_id: str) -> dict:
+    """Full corpus row for one image_id: bytes, dims, fmt, caption, phash.
+
+    fmt: ~70% png (lossless) / ~30% vdct (lossy), per FIXTURES.md §1.
+    """
+    pixels = synth_pixels(image_id)
+    seed = int(splitmix64(zlib.crc32(image_id.encode()) & 0xFFFFFFFF))
+    fmt = "png" if (seed // 13) % 10 < 7 else "vdct"
+    data = encode_image(pixels, fmt)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": int(pixels.shape[1]),
+        "h": int(pixels.shape[0]),
+        "fmt": fmt,
+        "caption": synth_caption(image_id),
+        "phash": phash64(decode_image(data, fmt)),
+    }

@@ -1,0 +1,154 @@
+"""Deterministic synthetic site graph shaped like the reference's crawl
+universe (vbpl.vn) — a pure function ``fetch(url, attempt) -> Page`` that
+replaces the network (SURVEY.md §5.2 item 2, FIXTURES.md §2).
+
+Shape mirrors /root/reference/:
+- listing pages, 130 doc links each       (app/service/vbpl.py:34,97)
+- two document classes phap_quy/hop_nhat  (app/helper/enum.py:20-22)
+- per-doc detail with related-doc edges   (app/service/vbpl.py:654-704)
+- image attachments (the scan binaries)   (app/service/get_pdf.py:24-74)
+- deterministic fault injection: a subset of doc URLs times out on the
+  first attempt to exercise retry + cuckoo-delete requeue
+  (app/service/anle.py:37-57)
+- robots.txt per host with crawl-delay and disallow prefixes (absent in
+  reference; required by north_rule)
+
+Everything is keyed off integer arithmetic on ids — no wall clock, no
+randomness beyond splitmix64 of the url — so any two runs (and the
+pure-Python oracle in crawl/oracle.py) see the identical graph.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+from vbpl_web_crawl_spark.sources.images import splitmix64
+
+HOST_MAIN = "vbpl.vn"
+HOST_FILES = "files.vbpl.vn"
+
+DOC_CLASSES = ("phap_quy", "hop_nhat")  # app/helper/enum.py:20-22
+
+# document-type priority rank for the frontier's (depth, doc_type, time)
+# order (north_rule; reference phase order app/service/vbpl.py:101-114)
+DOC_TYPE_RANK = {"listing": 0, "phap_quy": 1, "hop_nhat": 2, "attachment": 3}
+
+ROBOTS = {
+    HOST_MAIN: {"crawl_delay": 3.0, "disallow": ("/private/",)},
+    HOST_FILES: {"crawl_delay": 1.0, "disallow": ()},
+}
+
+
+@dataclass
+class SiteConfig:
+    n_pages: int = 20  # listing pages per doc class (1000 in reference)
+    docs_per_page: int = 130  # app/service/vbpl.py:34
+    related_per_doc: int = 3
+    max_attachments: int = 3
+    fault_every: int = 37  # every Nth doc id fails on attempt 0
+    private_every: int = 50  # every Nth doc link points under /private/
+
+
+@dataclass
+class Page:
+    url: str
+    status: int  # 200 | 404 | 599 (timeout)
+    kind: str  # listing | doc | attachment | robots
+    links: list = field(default_factory=list)  # (url, doc_type, in_page_pos)
+    caption: str | None = None
+    image_id: str | None = None
+
+
+def _h(s: str) -> int:
+    return int(splitmix64(zlib.crc32(s.encode()) & 0xFFFFFFFF))
+
+
+def listing_url(doc_class: str, page: int) -> str:
+    return f"https://{HOST_MAIN}/listing/{doc_class}/{page}"
+
+
+def doc_url(doc_class: str, doc_id: int) -> str:
+    return f"https://{HOST_MAIN}/doc/{doc_class}/{doc_id}"
+
+
+def private_url(doc_class: str, doc_id: int) -> str:
+    return f"https://{HOST_MAIN}/private/doc/{doc_class}/{doc_id}"
+
+
+def attachment_url(doc_class: str, doc_id: int, k: int) -> str:
+    return f"https://{HOST_FILES}/attachment/{doc_class}/{doc_id}/{k}"
+
+
+def doc_id_for(cfg: SiteConfig, doc_class: str, page: int, pos: int) -> int:
+    """Doc ids overlap across pages ~10% of the time (cross-page dedup):
+    every 10th slot re-links a doc from the previous page."""
+    base = (DOC_CLASSES.index(doc_class) + 1) * 1_000_000
+    seq = (page - 1) * cfg.docs_per_page + pos
+    if pos % 10 == 9 and page > 1:
+        seq -= cfg.docs_per_page  # repeat a doc from the previous page
+    return base + seq
+
+
+def seed_urls(cfg: SiteConfig) -> list[tuple[str, str]]:
+    """(url, doc_type) seed list: all listing pages, both classes —
+    phap_quy pages first (reference phase order), then hop_nhat."""
+    return [
+        (listing_url(dc, p), "listing")
+        for dc in DOC_CLASSES
+        for p in range(1, cfg.n_pages + 1)
+    ]
+
+
+def fetch(cfg: SiteConfig, url: str, attempt: int = 0) -> Page:
+    """Pure synthetic fetch. ``attempt`` drives deterministic faults."""
+    if "/listing/" in url:
+        doc_class, page_s = url.rsplit("/", 2)[-2:]
+        page = int(page_s)
+        if page > cfg.n_pages:
+            return Page(url, 404, "listing")
+        links = []
+        for pos in range(cfg.docs_per_page):
+            did = doc_id_for(cfg, doc_class, page, pos)
+            if pos % cfg.private_every == cfg.private_every - 1:
+                links.append((private_url(doc_class, did), doc_class, pos))
+            else:
+                links.append((doc_url(doc_class, did), doc_class, pos))
+        return Page(url, 200, "listing", links)
+
+    if "/private/" in url:
+        # robots-disallowed; fetching it is an engine bug (tests assert
+        # none of these are ever fetched)
+        return Page(url, 200, "doc", [])
+
+    if "/doc/" in url:
+        doc_class, did_s = url.rsplit("/", 2)[-2:]
+        did = int(did_s)
+        if did % cfg.fault_every == 0 and attempt == 0:
+            return Page(url, 599, "doc")  # deterministic first-try timeout
+        h = _h(url)
+        links = []
+        pos = 0
+        # related-doc edges (one-hop frontier expansion, vbpl.py:654-704)
+        for r in range(cfg.related_per_doc):
+            rel = doc_id_for(
+                cfg,
+                doc_class,
+                (h >> (r * 4)) % max(cfg.n_pages, 1) + 1,
+                (h >> (r * 7)) % cfg.docs_per_page,
+            )
+            if rel != did:
+                links.append((doc_url(doc_class, rel), doc_class, pos))
+                pos += 1
+        n_att = h % (cfg.max_attachments + 1)
+        for k in range(n_att):
+            links.append((attachment_url(doc_class, did, k), "attachment", pos))
+            pos += 1
+        return Page(url, 200, "doc", links, caption=f"doc {doc_class} {did}")
+
+    if "/attachment/" in url:
+        doc_class, did_s, k_s = url.rsplit("/", 3)[-3:]
+        image_id = f"{doc_class}-{did_s}-{k_s}"
+        return Page(url, 200, "attachment", [], image_id=image_id)
+
+    return Page(url, 404, "unknown")
