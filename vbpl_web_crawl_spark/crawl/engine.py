@@ -100,16 +100,6 @@ FETCH_SCHEMA = T.StructType(
 
 DOC_TYPE_RANK = SITE.DOC_TYPE_RANK
 
-STATE_TABLES = (
-    "frontier",
-    "seen_urls",
-    "sketches",
-    "visit_log",
-    "documents",
-    "metrics",
-    "enqueue_log",
-)
-
 
 @dataclass
 class CrawlConfig:
@@ -136,9 +126,27 @@ class CrawlEngine:
         }
 
     # ---------------- state I/O ----------------
+    #
+    # Snapshot layout (parquet stand-in for Iceberg snapshots):
+    #   ckpt/state/round=K/{frontier,seen_urls,sketches}   full per round
+    #   ckpt/log/{visit_log,documents,metrics,enqueue_log}/r=K/  deltas
+    #   ckpt/manifest.json                                  commit pointer
+    #
+    # Append-only tables are written ONCE per round (their delta) and
+    # never rewritten — at 10^10 URLs rewriting a cumulative log every
+    # round would be O(rounds^2) I/O. The manifest flip is the atomic
+    # commit: orphan delta dirs from a crashed round carry r > manifest
+    # round and are filtered out on read (exactly Iceberg's snapshot
+    # isolation, minus the catalog).
 
-    def _round_dir(self, rnd: int) -> str:
-        return os.path.join(self.ckpt_dir, f"round={rnd}")
+    LIVE_TABLES = ("frontier", "seen_urls", "sketches")
+    LOG_TABLES = ("visit_log", "documents", "metrics", "enqueue_log")
+
+    def _live_dir(self, rnd: int) -> str:
+        return os.path.join(self.ckpt_dir, "state", f"round={rnd}")
+
+    def _log_dir(self, name: str, rnd: int) -> str:
+        return os.path.join(self.ckpt_dir, "log", name, f"r={rnd}")
 
     def _manifest_path(self) -> str:
         return os.path.join(self.ckpt_dir, "manifest.json")
@@ -150,27 +158,47 @@ class CrawlEngine:
         with open(p) as f:
             return json.load(f)
 
-    def _write_state(self, rnd: int, tables: dict[str, DataFrame], counters: dict) -> None:
-        rdir = self._round_dir(rnd)
+    def _write_state(
+        self,
+        rnd: int,
+        live: dict[str, DataFrame],
+        deltas: dict[str, DataFrame],
+        counters: dict,
+    ) -> None:
+        rdir = self._live_dir(rnd)
         tmp = rdir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        for name, df in tables.items():
+        for name, df in live.items():
             df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, name))
         if os.path.exists(rdir):
             shutil.rmtree(rdir)
-        os.rename(tmp, rdir)
+        os.rename(rdir + ".tmp", rdir)
+        for name, df in deltas.items():
+            df.coalesce(1).write.mode("overwrite").parquet(self._log_dir(name, rnd))
         manifest = {"round": rnd, **counters}
         mp = self._manifest_path() + ".tmp"
         with open(mp, "w") as f:
             json.dump(manifest, f)
         os.replace(mp, self._manifest_path())
 
-    def _read_state(self, rnd: int) -> dict[str, DataFrame]:
-        rdir = self._round_dir(rnd)
+    def _read_live(self, rnd: int) -> dict[str, DataFrame]:
+        rdir = self._live_dir(rnd)
         return {
-            name: self.spark.read.parquet(os.path.join(rdir, name)) for name in STATE_TABLES
+            name: self.spark.read.parquet(os.path.join(rdir, name))
+            for name in self.LIVE_TABLES
         }
+
+    def read_log(self, name: str, upto_round: int) -> DataFrame:
+        """Union of a log table's per-round deltas up to the committed
+        round (orphans from crashed rounds excluded by the r filter)."""
+        base = os.path.join(self.ckpt_dir, "log", name)
+        return (
+            self.spark.read.option("basePath", base)
+            .parquet(base)
+            .filter(F.col("r") <= upto_round)
+            .drop("r")
+        )
 
     # ---------------- seed ----------------
 
@@ -255,56 +283,31 @@ class CrawlEngine:
         """Run rounds until the frontier drains; returns final manifest."""
         manifest = self.read_manifest() if resume else None
         if manifest is None:
-            state = {
-                "frontier": self.seed_frontier(),
-                "seen_urls": self.seed_frontier().select(
-                    "url_hash",
-                    SEEN.partition_of(F.col("url_hash"), self.cfg.n_seen_partitions).alias(
-                        "partition_id"
-                    ),
-                ),
-                "sketches": SEEN.empty_sketches(
+            frontier = self.seed_frontier()
+            empty_seen = self.spark.createDataFrame([], "url_hash long, partition_id int")
+            seen_urls, sketches = SEEN.add_to_seen(
+                frontier,
+                empty_seen,
+                SEEN.empty_sketches(
                     self.spark,
                     self.cfg.n_seen_partitions,
                     self.cfg.bloom_bits,
                     self.cfg.cuckoo_buckets,
                 ),
-                "visit_log": self.spark.createDataFrame(
-                    [], "visit_seq long, round int, url string, url_hash long, host string, "
-                    "depth int, doc_type string, retry_count int, status int",
-                ),
-                "documents": self.spark.createDataFrame(
-                    [],
-                    "image_id string, bytes binary, w int, h int, fmt string, "
-                    "caption string, phash long, src_url string, visit_seq long",
-                ),
-                "metrics": self.spark.createDataFrame(
-                    [],
-                    "round int, host string, pages_fetched long, failures long, "
-                    "new_urls long, wall_ms long",
-                ),
-                "enqueue_log": self.spark.createDataFrame(
-                    [], "url string, url_hash long, round int"
-                ),
-            }
-            # seed the sketches with the seed hashes; log seed enqueues
-            state["seen_urls"], state["sketches"] = SEEN.add_to_seen(
-                state["frontier"],
-                self.spark.createDataFrame([], "url_hash long, partition_id int"),
-                state["sketches"],
                 self.cfg.n_seen_partitions,
             )
-            state["enqueue_log"] = state["frontier"].select(
-                "url", "url_hash", F.lit(0).alias("round")
-            )
-            n_seeds = state["frontier"].count()
+            live = {"frontier": frontier, "seen_urls": seen_urls, "sketches": sketches}
+            deltas = {
+                "enqueue_log": frontier.select("url", "url_hash", F.lit(0).alias("round"))
+            }
+            n_seeds = frontier.count()
             counters = {"next_seq": n_seeds, "total_visits": 0, "pending": n_seeds}
-            self._write_state(0, state, counters)
+            self._write_state(0, live, deltas, counters)
             manifest = {"round": 0, **counters}
 
         rnd = manifest["round"]
         while rnd < self.cfg.max_rounds and manifest.get("pending", 1) > 0:
-            state = self._read_state(rnd)
+            state = self._read_live(rnd)
             rnd += 1
             manifest = self._run_round(rnd, state, manifest)
         return manifest
@@ -485,20 +488,20 @@ class CrawlEngine:
             "total_visits": total_visits + n_scheduled,
             "pending": manifest.get("pending", n_scheduled) - n_scheduled + n_admitted,
         }
-        new_state = {
+        live = {
             "frontier": new_frontier,
             "seen_urls": seen_urls,
             "sketches": sketches,
-            "visit_log": state["visit_log"].unionByName(visit_rows),
-            "documents": state["documents"].unionByName(new_docs),
-            "metrics": state["metrics"].unionByName(round_metrics),
-            "enqueue_log": state["enqueue_log"].unionByName(
-                admitted_final.filter(F.col("retry_count") == 0).select(
-                    "url", "url_hash", F.lit(rnd).alias("round")
-                )
+        }
+        deltas = {
+            "visit_log": visit_rows,
+            "documents": new_docs,
+            "metrics": round_metrics,
+            "enqueue_log": admitted_final.filter(F.col("retry_count") == 0).select(
+                "url", "url_hash", F.lit(rnd).alias("round")
             ),
         }
-        self._write_state(rnd, new_state, counters)
+        self._write_state(rnd, live, deltas, counters)
         fetched.unpersist()
         admitted_final.unpersist()
         return {"round": rnd, **counters}
@@ -508,4 +511,8 @@ class CrawlEngine:
     def final_state(self) -> dict[str, DataFrame]:
         manifest = self.read_manifest()
         assert manifest is not None, "no checkpoint"
-        return self._read_state(manifest["round"])
+        rnd = manifest["round"]
+        out = self._read_live(rnd)
+        for name in self.LOG_TABLES:
+            out[name] = self.read_log(name, rnd)
+        return out
