@@ -344,7 +344,15 @@ class CrawlEngine:
 
         # 3. FETCH
         fetched = self._fetch(scheduled).persist()
-        n_scheduled = fetched.count()  # materialize once
+        stats = fetched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("status") >= 500) & (F.col("retry_count") < cfg.max_retries)
+                ).cast("long")
+            ).alias("n_failed"),
+        ).collect()[0]
+        n_scheduled, n_failed = stats["n"], stats["n_failed"] or 0
 
         visit_rows = fetched.select(
             "visit_seq",
@@ -369,14 +377,16 @@ class CrawlEngine:
             "visit_seq",
         )
 
-        # 4. RETRY — delete failed hashes so re-admission passes the gate
+        # 4. RETRY — delete failed hashes from the exact table so the
+        # re-admission gate passes; the cuckoo delete is folded into the
+        # single end-of-round sketch-delta cogroup (apply_sketch_delta)
         failed = fetched.filter(
             (F.col("status") >= 500) & (F.col("retry_count") < cfg.max_retries)
         )
         seen_urls, sketches = state["seen_urls"], state["sketches"]
-        if failed.limit(1).count() > 0:  # cheap on the persisted frame
-            seen_urls, sketches = SEEN.delete_from_seen(
-                failed.select("url_hash"), seen_urls, sketches, cfg.n_seen_partitions
+        if n_failed > 0:
+            seen_urls = seen_urls.join(
+                failed.select("url_hash"), "url_hash", "left_anti"
             )
         retry_candidates = failed.select(
             "url",
@@ -454,13 +464,27 @@ class CrawlEngine:
         admitted_final = new_admits.unionByName(retry_admits).select(
             [f.name for f in FRONTIER_SCHEMA.fields]
         ).persist()
-        n_new = new_admits.count()
-        n_admitted = admitted_final.count()
+        astats = admitted_final.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("retry_count") == 0).cast("long")).alias("n_new"),
+        ).collect()[0]
+        n_admitted, n_new = astats["n"], astats["n_new"] or 0
 
-        if n_admitted > 0:
-            seen_urls, sketches = SEEN.add_to_seen(
-                admitted_final, seen_urls, sketches, cfg.n_seen_partitions
+        if n_admitted > 0 or n_failed > 0:
+            sketches = SEEN.apply_sketch_delta(
+                admitted_final.select("url_hash"),
+                failed.select("url_hash"),
+                sketches,
+                cfg.n_seen_partitions,
             )
+        if n_admitted > 0:
+            new_hashes = admitted_final.select(
+                "url_hash",
+                SEEN.partition_of(F.col("url_hash"), cfg.n_seen_partitions).alias(
+                    "partition_id"
+                ),
+            )
+            seen_urls = seen_urls.unionByName(new_hashes).dropDuplicates(["url_hash"])
 
         new_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(
             admitted_final
@@ -504,6 +528,9 @@ class CrawlEngine:
         self._write_state(rnd, live, deltas, counters)
         fetched.unpersist()
         admitted_final.unpersist()
+        # drop intermediate caches (e.g. filter_unseen's flagged frame);
+        # everything live is on disk in the checkpoint at this point
+        self.spark.catalog.clearCache()
         return {"round": rnd, **counters}
 
     # ---------------- inspection ----------------

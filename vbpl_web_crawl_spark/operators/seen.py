@@ -101,6 +101,7 @@ def filter_unseen(
         cand.groupBy("partition_id")
         .cogroup(sketches.groupBy("partition_id"))
         .applyInPandas(probe, out_schema)
+        .persist()  # consumed twice below; avoids re-running the cogroup
     )
     definitely_new = flagged.filter(~F.col("maybe_seen"))
     # exact check only for bloom-positive rows (FPs + true seen)
@@ -156,6 +157,51 @@ def add_to_seen(
         hashes.select("url_hash", "partition_id")
     ).dropDuplicates(["url_hash"])
     return new_seen, new_sketches
+
+
+def apply_sketch_delta(
+    add_hashes: DataFrame,
+    del_hashes: DataFrame,
+    sketches: DataFrame,
+    n_partitions: int,
+) -> DataFrame:
+    """One cogroup applying a round's deletes (cuckoo) then adds
+    (bloom+cuckoo) to every touched sketch partition. Combining the two
+    passes halves the per-round shuffle count vs separate delete/add."""
+    tagged = del_hashes.select("url_hash", F.lit(1).alias("is_del")).unionByName(
+        add_hashes.select("url_hash", F.lit(0).alias("is_del"))
+    )
+    tagged = tagged.withColumn("partition_id", partition_of(F.col("url_hash"), n_partitions))
+
+    def update(key, h_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if sk_pdf.empty:
+            bloom, cuckoo = BloomFilter(), CuckooFilter()
+        else:
+            bloom, cuckoo = _load(sk_pdf)
+        dels = h_pdf.loc[h_pdf["is_del"] == 1, "url_hash"].to_numpy(dtype=np.int64)
+        adds = h_pdf.loc[h_pdf["is_del"] == 0, "url_hash"].to_numpy(dtype=np.int64)
+        if len(dels):
+            cuckoo.delete(dels)
+        if len(adds):
+            bloom.add(adds)
+            cuckoo.add(adds)
+        return pd.DataFrame(
+            {
+                "partition_id": [int(key[0])],
+                "bloom_bytes": [bloom.to_bytes()],
+                "cuckoo_bytes": [cuckoo.to_bytes()],
+            }
+        )
+
+    updated = (
+        tagged.groupBy("partition_id")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(update, SKETCH_SCHEMA)
+    )
+    untouched = sketches.join(
+        tagged.select("partition_id").distinct(), "partition_id", "left_anti"
+    )
+    return updated.unionByName(untouched)
 
 
 def delete_from_seen(

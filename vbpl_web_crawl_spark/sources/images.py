@@ -89,12 +89,12 @@ def png_decode(data: bytes) -> np.ndarray:
 
 _VDCT_MAGIC = b"VDCT"
 
-_DCT8 = np.zeros((8, 8))
+_DCT8 = np.zeros((8, 8), dtype=np.float32)
 for _k in range(8):
     for _n in range(8):
         _DCT8[_k, _n] = np.cos(np.pi * (_n + 0.5) * _k / 8.0)
-_DCT8 *= np.sqrt(2.0 / 8.0)
-_DCT8[0] /= np.sqrt(2.0)
+_DCT8 *= np.float32(np.sqrt(2.0 / 8.0))
+_DCT8[0] /= np.float32(np.sqrt(2.0))
 
 # flat quantization step; 4.0 keeps worst-case error ~2/channel -> PSNR>40
 _Q_STEP = 4.0
@@ -115,9 +115,9 @@ def vdct_encode(pixels: np.ndarray) -> bytes:
     assert h % 8 == 0 and w % 8 == 0 and c == 3
     coeffs = []
     for ch in range(3):
-        blocks = _blockify(pixels[:, :, ch].astype(np.float64) - 128.0)
+        blocks = _blockify(pixels[:, :, ch].astype(np.float32) - np.float32(128.0))
         dct = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
-        q = np.round(dct / _Q_STEP).astype(np.int16)
+        q = np.round(dct / np.float32(_Q_STEP)).astype(np.int16)
         coeffs.append(q)
     payload = zlib.compress(np.stack(coeffs).tobytes(), 6)
     return _VDCT_MAGIC + struct.pack(">HH", w, h) + payload
@@ -131,10 +131,10 @@ def vdct_decode(data: bytes) -> np.ndarray:
     )
     out = np.zeros((h, w, 3), dtype=np.uint8)
     for ch in range(3):
-        dct = q[ch].astype(np.float64) * _Q_STEP
+        dct = q[ch].astype(np.float32) * np.float32(_Q_STEP)
         blocks = np.einsum("ji,abjk,kl->abil", _DCT8, dct, _DCT8)
         out[:, :, ch] = np.clip(
-            np.round(_unblockify(blocks, h, w) + 128.0), 0, 255
+            np.round(_unblockify(blocks, h, w) + np.float32(128.0)), 0, 255
         ).astype(np.uint8)
     return out
 
@@ -238,7 +238,11 @@ def synth_pixels(image_id: str) -> np.ndarray:
     dims = [64, 128, 256]
     h = dims[seed % 3]
     w = dims[(seed // 3) % 3]
-    img = np.full((h, w, 3), 235, dtype=np.float64)
+    # integer ops, minimal passes: this stage runs once per fetched
+    # image across the whole cluster — keeping it ALU-bound (not DRAM-
+    # bound) is what preserves N->4N scaling efficiency at high core
+    # occupancy. int16 noise + saturating cast, no float temporaries.
+    img = np.full((h, w, 3), 235, dtype=np.int16)
     # text-like dark bands every 8 rows
     n_lines = h // 8
     line_dark = rng.integers(20, 90, size=n_lines)
@@ -246,8 +250,9 @@ def synth_pixels(image_id: str) -> np.ndarray:
         rows = slice(i * 8 + 2, i * 8 + 6)
         cols = slice(4, w - 4 - int(rng.integers(0, w // 4)))
         img[rows, cols, :] = line_dark[i]
-    img += rng.normal(0, 2.0, size=img.shape)
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    # uniform scan noise (integer, cheaper than gaussian)
+    img += rng.integers(-3, 4, size=img.shape, dtype=np.int16)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 _TOPICS = (
