@@ -1,0 +1,295 @@
+"""Second tranche of driver-gated queries: rollup/pivot, positional zip
+join, first-match reduction, array slice ops, regex predicates, the
+streaming windowed agg, and the rows-only crawl + multimodal entries.
+
+Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.plans.queries import _register
+from vbpl_web_crawl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Rollup (beyond the reference — stock Catalyst; subtotal rows appear as
+# NULL group keys in both engines).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_revenue_nation_segment",
+    """
+SELECT n.n_name AS nation_name, c.c_mktsegment AS segment,
+       round(sum(o.o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return joined.rollup(
+        F.col("n_name").alias("nation_name"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — order counts per priority pivoted by status (DuckDB oracle via
+# conditional aggregation; column names must match the pivoted names).
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+@_register(
+    "pivot_orders_status_by_priority",
+    f"""
+SELECT o_orderpriority,
+       {', '.join(f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS {s}" for s in _STATUSES)}
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (priority,status) pair is absent; the
+    # oracle's FILTER-count yields 0 — align on 0
+    return out.select(
+        "o_orderpriority", *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _STATUSES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 positional zip join (reference titles[j] x sub_titles[j],
+# vbpl.py:131-137): arrays_zip + posexplode of two order-aligned lists.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "zip_positional_user_events",
+    """
+WITH lists AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS types,
+         list(round(value, 4) ORDER BY ts, event_id) AS vals
+  FROM events WHERE user_id < 20 GROUP BY user_id
+)
+SELECT user_id,
+       unnest(generate_series(1, len(types))) - 1 AS pos,
+       unnest(types) AS event_type,
+       unnest(vals) AS value
+FROM lists
+""",
+)
+def q_zip_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    lists = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+        ).alias("t_sorted"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.round("value", 4).alias("v"))
+            )
+        ).alias("v_sorted"),
+    )
+    zipped = lists.select(
+        "user_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.transform(F.col("t_sorted"), lambda s: s.getField("event_type")),
+                F.transform(F.col("v_sorted"), lambda s: s.getField("v")),
+            )
+        ).alias("pos", "pair"),
+    )
+    return zipped.select(
+        "user_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("pair.0").alias("event_type"),
+        F.col("pair.1").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 first-match reduction: earliest purchase per user via min_by (the
+# reference's `found`-flag short circuit as a deterministic rank-1 agg).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "first_purchase_per_user",
+    """
+SELECT user_id,
+       arg_min(event_id, epoch_ms(ts) * 100000 + event_id) AS first_event_id,
+       round(arg_min(value, epoch_ms(ts) * 100000 + event_id), 4) AS first_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    ord_col = F.unix_millis(F.col("ts").cast("timestamp")) * 100000 + F.col("event_id")
+    return events.groupBy("user_id").agg(
+        F.min_by("event_id", ord_col).alias("first_event_id"),
+        F.round(F.min_by("value", ord_col), 4).alias("first_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3/O3: array slice + element_at — first 3 events per user.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "first3_events_per_user",
+    """
+WITH lists AS (
+  SELECT user_id, list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id
+)
+SELECT user_id, ids[1] AS first_id,
+       array_to_string([CAST(x AS VARCHAR) for x in ids[1:3]], ',') AS first3
+FROM lists
+""",
+)
+def q_slice_first3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lists = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("s")
+    )
+    ids = F.transform(F.col("s"), lambda x: x.getField("event_id"))
+    return lists.select(
+        "user_id",
+        F.element_at(ids, 1).alias("first_id"),
+        F.array_join(
+            F.transform(F.slice(ids, 1, 3), lambda x: x.cast("string")), ","
+        ).alias("first3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 scalar aggregate + P6 regex predicate on the documents corpus.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_max_order",
+    "SELECT round(max(o_totalprice), 4) AS max_price, count(*) AS n FROM orders",
+)
+def q_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").agg(
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "regex_docs_by_source",
+    r"""
+SELECT source, count(*) AS n_match
+FROM documents
+WHERE regexp_matches(text, 'spark\s+\w+\s+join')
+GROUP BY source
+""",
+)
+def q_regex_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(r"spark\s+\w+\s+join"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: watermark + tumbling window over events, AvailableNow drain
+# (T1 semantics). Oracle = the equivalent batch aggregation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "streaming_windowed_event_agg",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from vbpl_web_crawl_spark.streaming.rounds import windowed_event_agg
+
+    return windowed_event_agg(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible): the crawl itself and the
+# multimodal decode stage. The driver records row-count-only checks.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_crawl(spark: SparkSession):
+    import tempfile
+
+    from vbpl_web_crawl_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+    cfg = CrawlConfig(
+        site=SITE.SiteConfig(
+            n_pages=1, docs_per_page=8, related_per_doc=1, max_attachments=1, fault_every=5
+        ),
+        round_window_s=120.0,
+        n_seen_partitions=4,
+        bloom_bits=1 << 16,
+        cuckoo_buckets=1 << 10,
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_crawl_")
+    eng = CrawlEngine(spark, cfg, ckpt)
+    eng.run(resume=False)
+    return eng
+
+
+@_register("crawl_visit_log", None)
+def q_crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl on the tiny synthetic site; returns the canonical
+    visit log (exact-order semantics tested vs the oracle in pytest)."""
+    eng = _tiny_crawl(spark)
+    return eng.final_state()["visit_log"].orderBy("visit_seq")
+
+
+@_register("multimodal_decode_stats", None)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an image+caption corpus (input_hint schema), decode +
+    feature-extract in Arrow batches, aggregate per format."""
+    from vbpl_web_crawl_spark.sources.corpus import decode_features, synth_corpus
+
+    corpus = synth_corpus(spark, 96, partitions=8)
+    feats = decode_features(corpus)
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
+            F.sum(F.col("phash_match").cast("int")).alias("n_phash_ok"),
+            F.round(F.avg("caption_tokens"), 3).alias("avg_caption_tokens"),
+        )
+        .orderBy("fmt")
+    )

@@ -602,13 +602,13 @@ def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def get_queries() -> dict[str, QueryFn]:
-    # import side-effect registrations from the pipeline module
-    from vbpl_web_crawl_spark.plans import pipeline_queries  # noqa: F401
+    # import side-effect registrations from the sibling modules
+    from vbpl_web_crawl_spark.plans import extra_queries, pipeline_queries  # noqa: F401
 
     return dict(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
-    from vbpl_web_crawl_spark.plans import pipeline_queries  # noqa: F401
+    from vbpl_web_crawl_spark.plans import extra_queries, pipeline_queries  # noqa: F401
 
     return dict(ORACLES)
