@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 from vbpl_web_crawl_spark.crawl import politeness as P
 from vbpl_web_crawl_spark.functions.scalars import canonicalize_url, url_hash, url_host
 from vbpl_web_crawl_spark.operators import seen as SEEN
+from vbpl_web_crawl_spark.operators import sequence as SEQ
 from vbpl_web_crawl_spark.sources import images as IMG
 from vbpl_web_crawl_spark.sources import synth_site as SITE
 
@@ -320,26 +321,40 @@ class CrawlEngine:
 
         frontier = state["frontier"]
 
-        # 1. SCHEDULE — politeness budget per host, priority order inside
+        # 1. SCHEDULE — politeness budget per host, priority order inside.
+        # The literal-k prefilter triggers Spark's WindowGroupLimit: each
+        # input partition keeps only its local top-k per host BEFORE the
+        # shuffle, so the dominant host (vbpl.vn) never funnels its whole
+        # frontier through one task — only <= k rows per upstream
+        # partition reach the final rank.
         budgets = self.spark.createDataFrame(
             [(h, b) for h, b in self._budget_by_host.items()], "host string, budget int"
         )
+        max_budget = max(self._budget_by_host.values(), default=1)
         prio = Window.partitionBy("host").orderBy("depth", "doc_type_rank", "discovery_seq")
-        ranked = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
-            "host_rank", F.row_number().over(prio)
+        ranked = (
+            frontier.withColumn("host_rank", F.row_number().over(prio))
+            .filter(F.col("host_rank") <= F.lit(max_budget))  # WindowGroupLimit
+            .join(F.broadcast(budgets), "host", "left")
         )
         scheduled = ranked.filter(
             F.col("host_rank") <= F.coalesce(F.col("budget"), F.lit(1))
         ).drop("budget", "host_rank")
-        deferred = ranked.filter(
-            F.col("host_rank") > F.coalesce(F.col("budget"), F.lit(1))
-        ).drop("budget", "host_rank")
+        # deferred = everything not scheduled (rows pruned by the group
+        # limit never materialize a rank — recover them by anti-join)
+        deferred = frontier.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        )
 
-        # 2. VISIT — canonical global order (SURVEY §4 determinism note)
-        visit_w = Window.orderBy("depth", "doc_type_rank", "discovery_seq")
-        scheduled = scheduled.withColumn(
-            "visit_seq",
-            (F.row_number().over(visit_w) + F.lit(total_visits) - 1).cast("long"),
+        # 2. VISIT — canonical global order (SURVEY §4 determinism note).
+        # The scheduled set is politeness-bounded (<= sum of host budgets
+        # per round), but sequence assignment still runs as a parallel
+        # range sort, not a single-task window (operators/sequence.py).
+        scheduled = SEQ.global_sequence(
+            scheduled,
+            ["depth", "doc_type_rank", "discovery_seq"],
+            seq_col="visit_seq",
+            start=total_visits,
         )
 
         # 3. FETCH
@@ -451,14 +466,14 @@ class CrawlEngine:
         # Bloom-prefiltered anti-join vs seen (retries pass: just deleted)
         admitted = SEEN.filter_unseen(candidates, seen_urls, sketches, cfg.n_seen_partitions)
 
-        # assign discovery_seq to new links in canonical order
-        seq_w = Window.orderBy(
-            F.coalesce(F.col("parent_visit_seq"), F.lit(-1)),
-            F.coalesce(F.col("in_page_pos"), F.lit(-1)),
-            "url",
-        )
-        new_admits = admitted.filter(F.col("is_new") == 1).withColumn(
-            "discovery_seq", F.row_number().over(seq_w) + F.lit(next_seq) - 1
+        # assign discovery_seq to new links in canonical order — this is
+        # the stream that scales with frontier expansion, so it MUST be
+        # the parallel sequencer, never a global window
+        new_admits = SEQ.global_sequence(
+            admitted.filter(F.col("is_new") == 1).drop("discovery_seq"),
+            ["parent_visit_seq", "in_page_pos", "url"],
+            seq_col="discovery_seq",
+            start=next_seq,
         )
         retry_admits = admitted.filter(F.col("is_new") == 0)
         admitted_final = new_admits.unionByName(retry_admits).select(
