@@ -96,6 +96,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
         T.StructField("links", _LINK_TYPE, True),
+        T.StructField("fetch_partition", T.IntegerType(), False),
     ]
 )
 
@@ -232,12 +233,16 @@ class CrawlEngine:
         in_cols = [f.name for f in FRONTIER_SCHEMA.fields] + ["visit_seq"]
 
         def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             for pdf in it:
                 out = []
                 for row in pdf.itertuples(index=False):
                     page = SITE.fetch(cfg_site, row.url, attempt=row.retry_count)
                     rec = {c: getattr(row, c) for c in in_cols}
                     rec.update(
+                        fetch_partition=pid,
                         status=page.status,
                         kind=page.kind,
                         caption=page.caption,
@@ -505,18 +510,25 @@ class CrawlEngine:
             admitted_final
         )
 
+        # per-partition lineage + fetch metrics (north_rule): which task
+        # fetched what, per host, per round
         wall_ms = int((time.time() - t0) * 1000)
         round_metrics = (
-            fetched.groupBy("host")
+            fetched.groupBy("host", "fetch_partition")
             .agg(
                 F.count(F.lit(1)).alias("pages_fetched"),
                 F.sum((F.col("status") >= 400).cast("long")).alias("failures"),
+                F.min("visit_seq").alias("first_visit_seq"),
+                F.max("visit_seq").alias("last_visit_seq"),
             )
             .select(
                 F.lit(rnd).alias("round"),
                 "host",
+                F.col("fetch_partition").alias("partition"),
                 "pages_fetched",
                 "failures",
+                "first_visit_seq",
+                "last_visit_seq",
                 F.lit(n_new).cast("long").alias("new_urls"),
                 F.lit(wall_ms).cast("long").alias("wall_ms"),
             )

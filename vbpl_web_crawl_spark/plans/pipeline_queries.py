@@ -407,6 +407,79 @@ _PLANES_SQL = ", ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, LSH-blocked: candidates = pairs in
+# the same sign-LSH bucket (4 planes -> 16 buckets), verify = exact
+# cosine >= threshold. At 100 TB the bucket join replaces the O(n^2)
+# cross join; the verify step is exact so blocking only affects recall,
+# and recall is tuned by plane count / multi-probe.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_PLANES = 4
+_NEARDUP_TAU = 0.40
+
+_PLANES4_SQL = ", ".join(
+    f"list_dot_product(embedding::DOUBLE[], [{', '.join(str(v) + '.0' for v in _plane(h))}]::DOUBLE[]) AS d{h}"
+    for h in range(_NEARDUP_PLANES)
+)
+_BUCKET4_SQL = " + ".join(
+    f"(CASE WHEN d{h} > 0 THEN {1 << h} ELSE 0 END)" for h in range(_NEARDUP_PLANES)
+)
+
+
+@_register(
+    "dedup_embedding_cosine_pairs",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET4_SQL} AS bucket
+  FROM (SELECT vec_id, embedding, {_PLANES4_SQL} FROM embeddings)
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= {_NEARDUP_TAU}
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def dot_plane(col, h: int):
+        plane = F.array(*[F.lit(float(v)) for v in _plane(h)])
+        return F.aggregate(
+            F.zip_with(col, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for h in range(_NEARDUP_PLANES):
+        term = F.when(dot_plane(F.col("embedding"), h) > 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    x = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    y = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        x.join(y, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _NEARDUP_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
 @_register(
     "ann_lsh_bucket_histogram",
     f"""
