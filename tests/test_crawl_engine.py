@@ -124,6 +124,32 @@ def test_resume_bit_identical(spark, tmp_path_factory, crawl):
         assert ac == bc, tbl
 
 
+def test_crawled_fulltext_sectionizes(crawl, spark):
+    """Crawl -> doc_lines -> W1-W5 sectionizer, like the reference's
+    phase-1 fulltext chain (vbpl.py:439-470 -> 293-378)."""
+    from vbpl_web_crawl_spark.operators.sectionizer import sectionize
+
+    eng, manifest, oracle = crawl
+    lines = eng.final_state()["doc_lines"]
+    assert lines.count() > 0
+    sections = sectionize(lines)
+    by_doc = {}
+    for r in sections.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "crawled docs must yield sections"
+    # verify one doc against the pure-python fulltext generator
+    doc_url = sorted(by_doc)[0]
+    doc_class, did = doc_url.rsplit("/", 2)[-2:]
+    expected_lines = SITE.synth_fulltext(doc_class, int(did))
+    exp_sections = [l for l in expected_lines if l.startswith("Điều ")]
+    got = sorted(by_doc[doc_url], key=lambda r: r.section_number)
+    assert len(got) == len(exp_sections)
+    for r, marker in zip(got, exp_sections):
+        assert marker.startswith(f"Điều {r.section_number}.")
+        assert r.section_name in marker
+        assert r.chapter_number is not None  # every Điều sits in a Chương
+
+
 def test_metrics_recorded(crawl):
     eng, manifest, oracle = crawl
     state = eng.final_state()

@@ -96,6 +96,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
         T.StructField("links", _LINK_TYPE, True),
+        T.StructField("fulltext", T.ArrayType(T.StringType()), True),
         T.StructField("fetch_partition", T.IntegerType(), False),
     ]
 )
@@ -142,7 +143,7 @@ class CrawlEngine:
     # isolation, minus the catalog).
 
     LIVE_TABLES = ("frontier", "seen_urls", "sketches")
-    LOG_TABLES = ("visit_log", "documents", "metrics", "enqueue_log")
+    LOG_TABLES = ("visit_log", "documents", "metrics", "enqueue_log", "doc_lines")
 
     def _live_dir(self, rnd: int) -> str:
         return os.path.join(self.ckpt_dir, "state", f"round={rnd}")
@@ -256,6 +257,7 @@ class CrawlEngine:
                             {"l_url": u, "l_doc_type": dt, "in_page_pos": pos}
                             for (u, dt, pos) in page.links
                         ],
+                        fulltext=page.fulltext or None,
                     )
                     if page.image_id is not None:
                         img = IMG.synth_image_record(page.image_id)
@@ -395,6 +397,15 @@ class CrawlEngine:
             "phash",
             F.col("url").alias("src_url"),
             "visit_seq",
+        )
+        # the reference's phase-1 fulltext tab (vbpl.py:439-470): body
+        # lines land in doc_lines, ready for the W1-W5 sectionizer
+        doc_lines = (
+            fetched.filter(F.col("fulltext").isNotNull())
+            .select(
+                F.col("url").alias("doc_id"),
+                F.posexplode("fulltext").alias("line_no", "line"),
+            )
         )
 
         # 4. RETRY — delete failed hashes from the exact table so the
@@ -551,6 +562,7 @@ class CrawlEngine:
             "enqueue_log": admitted_final.filter(F.col("retry_count") == 0).select(
                 "url", "url_hash", F.lit(rnd).alias("round")
             ),
+            "doc_lines": doc_lines,
         }
         self._write_state(rnd, live, deltas, counters)
         fetched.unpersist()

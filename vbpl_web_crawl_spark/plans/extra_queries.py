@@ -246,11 +246,18 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_TINY_CRAWL_CACHE: dict = {}
+
+
 def _tiny_crawl(spark: SparkSession):
     import tempfile
 
     from vbpl_web_crawl_spark.crawl.engine import CrawlConfig, CrawlEngine
     from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+    key = id(spark)
+    if key in _TINY_CRAWL_CACHE:
+        return _TINY_CRAWL_CACHE[key]
 
     cfg = CrawlConfig(
         site=SITE.SiteConfig(
@@ -264,6 +271,7 @@ def _tiny_crawl(spark: SparkSession):
     ckpt = tempfile.mkdtemp(prefix="q_crawl_")
     eng = CrawlEngine(spark, cfg, ckpt)
     eng.run(resume=False)
+    _TINY_CRAWL_CACHE[key] = eng
     return eng
 
 
@@ -273,6 +281,16 @@ def q_crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     visit log (exact-order semantics tested vs the oracle in pytest)."""
     eng = _tiny_crawl(spark)
     return eng.final_state()["visit_log"].orderBy("visit_seq")
+
+
+@_register("crawl_toan_van_sections", None)
+def q_crawl_toan_van(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl -> doc_lines -> W1-W5 sectionizer: the reference's phase-1
+    fulltext chain (vbpl.py:439-470 -> 293-378) end to end."""
+    from vbpl_web_crawl_spark.operators.sectionizer import sectionize
+
+    eng = _tiny_crawl(spark)
+    return sectionize(eng.final_state()["doc_lines"]).orderBy("doc_id", "section_number")
 
 
 @_register("multimodal_decode_stats", None)

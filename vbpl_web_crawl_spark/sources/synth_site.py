@@ -58,6 +58,44 @@ class Page:
     links: list = field(default_factory=list)  # (url, doc_type, in_page_pos)
     caption: str | None = None
     image_id: str | None = None
+    fulltext: list = field(default_factory=list)  # document body lines
+
+
+_ROMAN = ("I", "II", "III", "IV", "V")
+
+
+def synth_fulltext(doc_class: str, doc_id: int) -> list[str]:
+    """Deterministic Vietnamese-legal-shaped full text with the marker
+    structure the reference parses (Chương/Mục/Điều/PHỤ LỤC/___ rule,
+    regexes at /root/reference/app/service/vbpl.py:36-43) so the crawl
+    output feeds the sectionizer exactly like the reference's phase-1
+    fulltext tab (vbpl.py:439-470)."""
+    h = _h(f"{doc_class}/{doc_id}/fulltext")
+    lines = [f"VĂN BẢN {doc_id}", ""]
+    n_chapters = 1 + h % 2
+    dieu = 0
+    for c in range(n_chapters):
+        lines.append(f"Chương {_ROMAN[c]}")
+        lines.append(f"QUY ĐỊNH {['CHUNG', 'CỤ THỂ'][c % 2]}")
+        n_muc = (h >> (c + 2)) % 2
+        for m in range(n_muc + 1) if n_muc else [None]:
+            if m is not None:
+                lines.append(f"Mục {m + 1}")
+                lines.append(f"NỘI DUNG MỤC {m + 1}")
+            for s in range(1 + (h >> (c * 3)) % 3):
+                dieu += 1
+                lines.append(f"Điều {dieu}. Quy định số {dieu} của văn bản {doc_id}")
+                lines.append(f"Nội dung điều {dieu}, khoản {h % 7 + 1}.")
+                if (h >> s) % 3 == 0:
+                    lines.append(f"Chi tiết bổ sung {(h >> s) % 100}.")
+    lines.append("_____")
+    lines.append("Nơi nhận: lưu VT.")
+    if h % 3 == 0:
+        lines.append("PHỤ LỤC")
+        lines.append(f"DANH MỤC {doc_id}")
+        lines.append(f"Phụ lục I. Biểu mẫu {doc_id}")
+        lines.append("Nội dung biểu mẫu.")
+    return lines
 
 
 def _h(s: str) -> int:
@@ -144,7 +182,14 @@ def fetch(cfg: SiteConfig, url: str, attempt: int = 0) -> Page:
         for k in range(n_att):
             links.append((attachment_url(doc_class, did, k), "attachment", pos))
             pos += 1
-        return Page(url, 200, "doc", links, caption=f"doc {doc_class} {did}")
+        return Page(
+            url,
+            200,
+            "doc",
+            links,
+            caption=f"doc {doc_class} {did}",
+            fulltext=synth_fulltext(doc_class, did),
+        )
 
     if "/attachment/" in url:
         doc_class, did_s, k_s = url.rsplit("/", 3)[-3:]
