@@ -95,9 +95,11 @@ def run_scaling() -> dict:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "16000"))
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     results = {}
-    for cpus in (n_small, n_small * 4):
+    for cpus, reps in ((n_small, 2), (n_small * 4, 4)):
+        # more reps at the faster level: min-of-N filters host-steal
+        # noise, and the 4N runs are short enough to afford it
         out = subprocess.run(
-            [sys.executable, probe, str(cpus), str(n)],
+            [sys.executable, probe, str(cpus), str(n), str(reps)],
             capture_output=True,
             text=True,
             timeout=900,

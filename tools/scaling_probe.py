@@ -74,6 +74,7 @@ def fetch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def main() -> None:
     cpus = int(sys.argv[1])
     n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     spark = get_spark(f"scaling_probe_{cpus}", cpus=cpus)
     ids = spark.range(n_images).select(
         F.concat(F.lit("bench-"), F.col("id")).alias("image_id")
@@ -85,9 +86,9 @@ def main() -> None:
     ids.limit(64).mapInPandas(fetch_decode, OUT_SCHEMA).write.format("noop").mode(
         "overwrite"
     ).save()
-    # min of 2 measured repetitions: the sandbox VM is co-tenant-noisy
+    # min of N measured repetitions: the sandbox VM is co-tenant-noisy
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         res = ids.mapInPandas(fetch_decode, OUT_SCHEMA)
         agg = res.agg(

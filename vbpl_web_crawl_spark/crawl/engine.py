@@ -115,6 +115,9 @@ class CrawlConfig:
     per_host_slots: int = 8  # hot-host salt fan-out (reference: 8 threads)
     bloom_bits: int = 1 << 20
     cuckoo_buckets: int = 1 << 14
+    # files per checkpointed table: 1 at test scale; set to the cluster's
+    # task parallelism at 10^10 scale so snapshot writes stay parallel
+    checkpoint_files: int = 1
 
 
 class CrawlEngine:
@@ -172,13 +175,14 @@ class CrawlEngine:
         tmp = rdir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        nfiles = max(self.cfg.checkpoint_files, 1)
         for name, df in live.items():
-            df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, name))
+            df.coalesce(nfiles).write.mode("overwrite").parquet(os.path.join(tmp, name))
         if os.path.exists(rdir):
             shutil.rmtree(rdir)
         os.rename(rdir + ".tmp", rdir)
         for name, df in deltas.items():
-            df.coalesce(1).write.mode("overwrite").parquet(self._log_dir(name, rnd))
+            df.coalesce(nfiles).write.mode("overwrite").parquet(self._log_dir(name, rnd))
         manifest = {"round": rnd, **counters}
         mp = self._manifest_path() + ".tmp"
         with open(mp, "w") as f:
