@@ -246,6 +246,80 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# SQL API — the same Catalyst plan via spark.sql over registered views
+# (TPC-H Q5 shape: region -> nation -> customer -> orders -> lineitem).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sql_api_revenue_by_nation",
+    """
+SELECT n.n_name AS nation_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbpl_web_crawl_spark.sources.tables import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """
+    )
+
+
+@_register(
+    "distinct_counts_per_segment",
+    """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@_register(
+    "cube_events_type_bucket",
+    """
+SELECT event_type, user_id % 5 AS user_bucket,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events
+GROUP BY CUBE (event_type, user_id % 5)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.cube(
+        F.col("event_type"), (F.col("user_id") % 5).alias("user_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+
+
 _TINY_CRAWL_CACHE: dict = {}
 
 
