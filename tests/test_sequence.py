@@ -24,6 +24,15 @@ def test_dense_and_offset(spark):
     assert out == [(1, 7), (2, 8), (3, 9)]
 
 
+def test_small_hint_path_identical(spark):
+    df = spark.range(500).select(
+        (F.col("id") * 48271 % 7919).alias("key"), F.col("id").alias("tie")
+    )
+    a = {(r.key, r.tie): r.seq for r in global_sequence(df, ["key", "tie"], approx_rows=500).collect()}
+    b = {(r.key, r.tie): r.seq for r in global_sequence(df, ["key", "tie"]).collect()}
+    assert a == b
+
+
 def test_empty_input(spark):
     df = spark.createDataFrame([], "v int")
     assert global_sequence(df, ["v"]).count() == 0

@@ -366,6 +366,8 @@ class CrawlEngine:
             ["depth", "doc_type_rank", "discovery_seq"],
             seq_col="visit_seq",
             start=total_visits,
+            # scheduled <= pending; small rounds take the 1-window path
+            approx_rows=manifest.get("pending"),
         )
 
         # 3. FETCH

@@ -26,15 +26,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+SMALL_INPUT_THRESHOLD = 100_000
+
+
 def global_sequence(
     df: DataFrame,
     sort_cols: list,
     seq_col: str = "seq",
     start: int = 0,
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Append ``seq_col`` = dense global rank (start, start+1, ...) in
-    ``sort_cols`` order, without a single-task global window."""
+    ``sort_cols`` order, without a single-task global window.
+
+    When the caller knows the input is small (``approx_rows`` below the
+    threshold), a plain window is cheaper (saves the count job + cache);
+    both paths produce identical output (unit-tested), so the switch is
+    purely physical.
+    """
+    if approx_rows is not None and approx_rows <= SMALL_INPUT_THRESHOLD:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*sort_cols)
+        return df.withColumn(
+            seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long")
+        )
     spark = df.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(*sort_cols)
