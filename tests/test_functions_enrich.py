@@ -42,6 +42,23 @@ def test_download_href(spark):
     assert _one(spark, "string", v, S.extract_download_href) == "/files/a.pdf"
 
 
+def test_content_disposition_filename(spark):
+    f = lambda v: _one(spark, "string", v, S.extract_content_disposition_filename)
+    assert f('attachment; filename="van ban.pdf"') == "van ban.pdf"
+    assert f("attachment; filename=vb.pdf; size=3") == "vb.pdf"
+    assert f("inline") is None
+
+
+def test_case_conversions(spark):
+    assert _one(spark, "string", "row_per_page", S.snake_to_pascal) == "RowPerPage"
+    assert _one(spark, "string", "RowPerPage", S.pascal_to_snake) == "row_per_page"
+    assert _one(spark, "string", "itemID", S.pascal_to_snake) == "item_id"
+
+
+def test_url_encode(spark):
+    assert _one(spark, "string", "văn bản", S.url_encode) == "v%C4%83n+b%E1%BA%A3n"
+
+
 def test_parse_vn_date(spark):
     f = lambda v: _one(spark, "string", v, S.parse_vn_date)
     assert str(f("15/03/2021")).startswith("2021-03-15")

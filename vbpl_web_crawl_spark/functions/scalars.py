@@ -28,6 +28,38 @@ def extract_file_id(url: Column) -> Column:
     return F.nullif(F.coalesce(F.nullif(attachments, F.lit("")), F.nullif(ucm, F.lit(""))), F.lit(""))
 
 
+# --- F5: filename from a Content-Disposition header (app/service/get_pdf.py:14-21) ---
+
+
+def extract_content_disposition_filename(header: Column) -> Column:
+    quoted = F.regexp_extract(header, r'filename="([^"]+)"', 1)
+    bare = F.regexp_extract(header, r"filename=([^;\s]+)", 1)
+    return F.nullif(F.coalesce(F.nullif(quoted, F.lit("")), F.nullif(bare, F.lit(""))), F.lit(""))
+
+
+# --- F12: snake <-> camel/Pascal key conversion (app/helper/utility.py:5-61) ---
+
+
+def snake_to_pascal(name: Column) -> Column:
+    """snake_case -> PascalCase (query-param construction in the ref)."""
+    parts = F.split(name, "_")
+    return F.array_join(F.transform(parts, lambda p: F.initcap(p)), "")
+
+
+def pascal_to_snake(name: Column) -> Column:
+    """PascalCase/camelCase -> snake_case."""
+    return F.lower(
+        F.regexp_replace(F.regexp_replace(name, r"(.)([A-Z][a-z]+)", "$1_$2"), r"([a-z0-9])([A-Z])", "$1_$2")
+    )
+
+
+# --- F14: URL percent-encoding (quote() at app/service/vbpl.py:848,1035) ---
+
+
+def url_encode(text: Column) -> Column:
+    return F.url_encode(text)
+
+
 # --- F6: double-extension cleanup (app/service/get_pdf.py:97-102) ---
 
 
