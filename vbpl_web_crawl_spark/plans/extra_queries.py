@@ -320,6 +320,45 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
 
 
+# ---------------------------------------------------------------------------
+# Skew-salted join: event_type has only a handful of hot values, the
+# classic skewed-key join. The dim side is exploded over 16 salts and
+# the fact side salted by pmod(event_id, 16), so each hot key spreads
+# over 16 shuffle partitions. The result is identical to the unsalted
+# join — which is exactly what the DuckDB oracle computes.
+# ---------------------------------------------------------------------------
+
+_N_SALT = 16
+
+
+@_register(
+    "skew_salted_join_event_types",
+    """
+WITH dim AS (
+  SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events
+)
+SELECT d.type_label, count(*) AS n, round(sum(e.value), 4) AS total_value
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY d.type_label
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dim = events.select("event_type").distinct().select(
+        "event_type", F.upper("event_type").alias("type_label")
+    )
+    salted_dim = dim.select(
+        "event_type",
+        "type_label",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1))).alias("salt"),
+    )
+    salted_events = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_N_SALT)))
+    joined = salted_events.join(salted_dim, ["event_type", "salt"])
+    return joined.groupBy("type_label").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
 _TINY_CRAWL_CACHE: dict = {}
 
 
