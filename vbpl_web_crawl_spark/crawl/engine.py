@@ -176,13 +176,26 @@ class CrawlEngine:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         nfiles = max(self.cfg.checkpoint_files, 1)
-        for name, df in live.items():
+        # the tables are independent outputs — submit their write jobs
+        # concurrently (Spark schedules jobs from multiple threads); the
+        # wall cost per round is max(write) instead of sum(write)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_live(item):
+            name, df = item
             df.coalesce(nfiles).write.mode("overwrite").parquet(os.path.join(tmp, name))
+
+        def write_delta(item):
+            name, df = item
+            df.coalesce(nfiles).write.mode("overwrite").parquet(self._log_dir(name, rnd))
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(write_live, live.items()))
         if os.path.exists(rdir):
             shutil.rmtree(rdir)
         os.rename(rdir + ".tmp", rdir)
-        for name, df in deltas.items():
-            df.coalesce(nfiles).write.mode("overwrite").parquet(self._log_dir(name, rnd))
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(write_delta, deltas.items()))
         manifest = {"round": rnd, **counters}
         mp = self._manifest_path() + ".tmp"
         with open(mp, "w") as f:
