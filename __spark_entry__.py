@@ -18,11 +18,31 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable inside Spark python workers even when
+    the driver session was created from a foreign cwd: ship
+    dist/pyfiles.zip via addPyFile (idempotent per session)."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    zip_path = os.path.join(_REPO_ROOT, "dist", "pyfiles.zip")
+    if not os.path.exists(zip_path):
+        sys.path.insert(0, os.path.join(_REPO_ROOT, "tools"))
+        import make_pyfiles
+
+        zip_path = make_pyfiles.main()
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from vbpl_web_crawl_spark.plans.queries import get_queries
 
+    _ensure_shipped(spark)
     return get_queries()["flagship_latest_order_dossier"](spark, "/root/testdata/sf0.001")
 
 
@@ -30,7 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from vbpl_web_crawl_spark.plans.queries import get_queries
 
-    return get_queries()
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in get_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

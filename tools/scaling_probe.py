@@ -72,6 +72,9 @@ def fetch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print("usage: scaling_probe.py <cpus> [n_images] [reps]", file=sys.stderr)
+        raise SystemExit(2)
     cpus = int(sys.argv[1])
     n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2

@@ -34,6 +34,14 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # python workers must import this package regardless of the cwd the
+    # driver was launched from (the driver's sys.path does not propagate)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
