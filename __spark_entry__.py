@@ -29,7 +29,19 @@ def _ensure_shipped(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     zip_path = os.path.join(_REPO_ROOT, "dist", "pyfiles.zip")
-    if not os.path.exists(zip_path):
+    pkg = os.path.join(_REPO_ROOT, "vbpl_web_crawl_spark")
+    newest_src = max(
+        (
+            os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(pkg)
+            for f in fs
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    # rebuild when missing OR stale — a stale zip would shadow newer
+    # source on the workers' import path
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
         sys.path.insert(0, os.path.join(_REPO_ROOT, "tools"))
         import make_pyfiles
 
