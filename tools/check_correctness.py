@@ -21,10 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+STRICT = os.environ.get("SPARK_GRAFT_STRICT", "1") == "1"
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if STRICT:
+            # mimic the driver's value-hash: every cell stringified, so a
+            # DuckDB HUGEINT->float64 '0.0' vs Spark bigint '0' is a FAIL
+            df[c] = df[c].map(lambda v: repr(v))
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

@@ -54,10 +54,10 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens,
        round(avg(punct_ratio), 6) AS avg_punct_ratio,
-       sum(the_hits) AS total_the_hits
+       CAST(sum(the_hits) AS BIGINT) AS total_the_hits
 FROM t GROUP BY lang
 """,
 )

@@ -376,9 +376,9 @@ def q_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH numbered AS (
   SELECT user_id, event_id, value,
-         sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS section_id
   FROM events
 )
 SELECT user_id, section_id, count(*) AS n_events,
