@@ -150,6 +150,85 @@ def test_crawled_fulltext_sectionizes(crawl, spark):
         assert r.chapter_number is not None  # every Điều sits in a Chương
 
 
+def test_seen_checkpoint_is_delta_not_full_rewrite(crawl):
+    """north_rule scale fix: per-round seen-set checkpoint I/O must be
+    O(new URLs), not O(total seen) — no full seen table in any live dir
+    between compactions, and each round's seen_adds delta has exactly
+    the rows admitted that round."""
+    import os
+
+    eng, manifest, oracle = crawl
+    rnd = manifest["round"]
+    state_root = os.path.join(eng.ckpt_dir, "state")
+    for name in os.listdir(state_root):
+        r = int(name.split("=")[1])
+        assert not os.path.exists(os.path.join(state_root, name, "seen_urls"))
+        if r % eng.cfg.seen_compact_every != 0 or r == 0:
+            assert not os.path.exists(os.path.join(state_root, name, "seen_base")), r
+    # delta rows per round == new enqueues + retry re-admissions
+    spark = eng.spark
+    adds_dir = os.path.join(eng.ckpt_dir, "log", "seen_adds")
+    vl = eng.final_state()["visit_log"]
+    # a fetch that fails in round r (below the retry cap) is re-admitted
+    # in round r's own expand step, so it lands in round r's delta
+    refails_by_round = {
+        r["round"]: r["n"]
+        for r in vl.filter(
+            (F.col("status") >= 500) & (F.col("retry_count") < eng.cfg.max_retries)
+        )
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    enq_by_round = {
+        r["round"]: r["n"]
+        for r in eng.final_state()["enqueue_log"]
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for name in os.listdir(adds_dir):
+        r = int(name.split("=")[1])
+        n_delta = spark.read.parquet(os.path.join(adds_dir, name)).count()
+        if r == 0:
+            continue  # seeds
+        expected = enq_by_round.get(r, 0) + refails_by_round.get(r, 0)
+        assert n_delta == expected, (r, n_delta, expected)
+
+
+def test_compaction_and_gc_preserve_state(spark, tmp_path_factory):
+    """Aggressive compaction (every 2 rounds) + GC: the final seen set,
+    visit order and resume behavior are unchanged; folded seen_adds
+    deltas are removed; only one seen_base survives."""
+    import os
+
+    cfg = CrawlConfig(**{**CFG.__dict__, "seen_compact_every": 2, "keep_live_rounds": 1})
+    ckpt = str(tmp_path_factory.mktemp("ckpt_compact"))
+    eng = CrawlEngine(spark, cfg, ckpt)
+    manifest = eng.run()
+    oracle = run_oracle(cfg.site, cfg.robots, cfg.round_window_s, cfg.max_retries)
+    state = eng.final_state()
+    assert {r.url for r in state["enqueue_log"].select("url").collect()} == oracle.seen
+    assert state["seen_urls"].count() == len(oracle.seen)
+    order = [r.url for r in state["visit_log"].orderBy("visit_seq").select("url").collect()]
+    assert order == oracle.visit_order
+    assert state["sketches"].count() == cfg.n_seen_partitions
+    # GC: deltas at or before the base round are folded away
+    base_round = manifest["seen_base_round"]
+    assert base_round >= 0, "compaction must have happened"
+    adds_dir = os.path.join(ckpt, "log", "seen_adds")
+    for name in os.listdir(adds_dir):
+        assert int(name.split("=")[1]) > base_round, name
+    # exactly one live seen_base remains
+    state_root = os.path.join(ckpt, "state")
+    bases = [
+        n
+        for n in os.listdir(state_root)
+        if os.path.exists(os.path.join(state_root, n, "seen_base"))
+    ]
+    assert bases == [f"round={base_round}"]
+
+
 def test_metrics_recorded(crawl):
     eng, manifest, oracle = crawl
     state = eng.final_state()

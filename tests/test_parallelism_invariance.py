@@ -37,7 +37,9 @@ CrawlEngine(spark, cfg, {ckpt!r}).run(resume=False)
     )
     assert out.returncode == 0, out.stderr[-2000:]
 
-    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    # committed manifest = highest manifest-<round>.json (fsio protocol)
+    latest = max(n for n in os.listdir(ckpt) if n.startswith("manifest-") and n.endswith(".json"))
+    manifest = json.load(open(os.path.join(ckpt, latest)))
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT url FROM parquet_scan('{ckpt}/log/visit_log/*/*.parquet') "

@@ -40,9 +40,7 @@ tables and step 6 is a single multi-table snapshot commit.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -52,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from vbpl_web_crawl_spark.crawl import fsio
 from vbpl_web_crawl_spark.crawl import politeness as P
 from vbpl_web_crawl_spark.functions.scalars import canonicalize_url, url_hash, url_host
 from vbpl_web_crawl_spark.operators import seen as SEEN
@@ -118,6 +117,12 @@ class CrawlConfig:
     # files per checkpointed table: 1 at test scale; set to the cluster's
     # task parallelism at 10^10 scale so snapshot writes stay parallel
     checkpoint_files: int = 1
+    # fold seen_adds deltas into a full seen_base every K rounds; between
+    # compactions each round writes only its O(new URLs) delta
+    seen_compact_every: int = 8
+    # live dirs (frontier/sketches) older than this many rounds are GC'd
+    # after each commit (the seen_base round is always retained)
+    keep_live_rounds: int = 2
 
 
 class CrawlEngine:
@@ -134,18 +139,34 @@ class CrawlEngine:
     # ---------------- state I/O ----------------
     #
     # Snapshot layout (parquet stand-in for Iceberg snapshots):
-    #   ckpt/state/round=K/{frontier,seen_urls,sketches}   full per round
-    #   ckpt/log/{visit_log,documents,metrics,enqueue_log}/r=K/  deltas
-    #   ckpt/manifest.json                                  commit pointer
+    #   ckpt/state/round=K/{frontier,sketches}             full per round
+    #   ckpt/state/round=K/seen_base          full seen set, ONLY on
+    #                                         compaction rounds (every
+    #                                         cfg.seen_compact_every)
+    #   ckpt/log/{visit_log,documents,metrics,enqueue_log,doc_lines,
+    #             seen_adds}/r=K/                           deltas
+    #   ckpt/manifest-<round>.json            commit pointers (max wins)
     #
     # Append-only tables are written ONCE per round (their delta) and
-    # never rewritten — at 10^10 URLs rewriting a cumulative log every
-    # round would be O(rounds^2) I/O. The manifest flip is the atomic
-    # commit: orphan delta dirs from a crashed round carry r > manifest
-    # round and are filtered out on read (exactly Iceberg's snapshot
+    # never rewritten — at 10^10 URLs rewriting a cumulative table every
+    # round would be O(rounds^2) I/O. That includes the biggest table in
+    # the system, the seen set: each round checkpoints only its O(new
+    # URLs) seen_adds delta; readers take seen_base ∪ deltas>base_round
+    # (bucketed on partition_id = pmod(url_hash), so at cluster scale the
+    # exact anti-join prunes buckets), and every K rounds the union is
+    # folded into a fresh seen_base (Iceberg MERGE compaction shape).
+    # Retry deletes need no delta: a failed fetch's hash is deleted and
+    # re-admitted within the SAME round (the retry always survives the
+    # in-round dedup and the unseen gate), so at every round boundary the
+    # adds stream alone determines the seen set.
+    #
+    # The manifest commit is a tmp-write + rename to a FRESH name
+    # (fsio.commit_manifest — atomic on HDFS/local, object-store
+    # tolerant); orphan delta dirs from a crashed round carry r >
+    # committed round and are filtered out on read (Iceberg's snapshot
     # isolation, minus the catalog).
 
-    LIVE_TABLES = ("frontier", "seen_urls", "sketches")
+    LIVE_TABLES = ("frontier", "sketches")
     LOG_TABLES = ("visit_log", "documents", "metrics", "enqueue_log", "doc_lines")
 
     def _live_dir(self, rnd: int) -> str:
@@ -154,15 +175,8 @@ class CrawlEngine:
     def _log_dir(self, name: str, rnd: int) -> str:
         return os.path.join(self.ckpt_dir, "log", name, f"r={rnd}")
 
-    def _manifest_path(self) -> str:
-        return os.path.join(self.ckpt_dir, "manifest.json")
-
     def read_manifest(self) -> dict | None:
-        p = self._manifest_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        return fsio.read_manifest(self.spark, self.ckpt_dir)
 
     def _write_state(
         self,
@@ -173,8 +187,7 @@ class CrawlEngine:
     ) -> None:
         rdir = self._live_dir(rnd)
         tmp = rdir + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        fsio.delete(self.spark, tmp)
         nfiles = max(self.cfg.checkpoint_files, 1)
         # the tables are independent outputs — submit their write jobs
         # concurrently (Spark schedules jobs from multiple threads); the
@@ -191,16 +204,29 @@ class CrawlEngine:
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(write_live, live.items()))
-        if os.path.exists(rdir):
-            shutil.rmtree(rdir)
-        os.rename(rdir + ".tmp", rdir)
+        fsio.delete(self.spark, rdir)  # stale dir from a crashed attempt
+        fsio.rename(self.spark, tmp, rdir)
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(write_delta, deltas.items()))
-        manifest = {"round": rnd, **counters}
-        mp = self._manifest_path() + ".tmp"
-        with open(mp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mp, self._manifest_path())
+        fsio.commit_manifest(self.spark, self.ckpt_dir, {"round": rnd, **counters})
+        self._gc(rnd, counters.get("seen_base_round", -1))
+
+    def _gc(self, rnd: int, base_round: int) -> None:
+        """Drop state no reader needs: live dirs older than
+        keep_live_rounds (except the seen_base round) and seen_adds
+        deltas already folded into the base. Log tables other than
+        seen_adds are the permanent record and are never touched."""
+        keep_from = rnd - max(self.cfg.keep_live_rounds, 1)
+        state_dir = os.path.join(self.ckpt_dir, "state")
+        for name in fsio.listdir(self.spark, state_dir):
+            if name.startswith("round="):
+                r = int(name.split("=", 1)[1])
+                if r < keep_from and r != base_round:
+                    fsio.delete(self.spark, os.path.join(state_dir, name))
+        adds_dir = os.path.join(self.ckpt_dir, "log", "seen_adds")
+        for name in fsio.listdir(self.spark, adds_dir):
+            if name.startswith("r=") and int(name.split("=", 1)[1]) <= base_round:
+                fsio.delete(self.spark, os.path.join(adds_dir, name))
 
     def _read_live(self, rnd: int) -> dict[str, DataFrame]:
         rdir = self._live_dir(rnd)
@@ -209,16 +235,38 @@ class CrawlEngine:
             for name in self.LIVE_TABLES
         }
 
-    def read_log(self, name: str, upto_round: int) -> DataFrame:
-        """Union of a log table's per-round deltas up to the committed
-        round (orphans from crashed rounds excluded by the r filter)."""
+    def read_log(self, name: str, upto_round: int, after_round: int = -1) -> DataFrame:
+        """Union of a log table's per-round deltas in (after_round,
+        upto_round] (orphans from crashed rounds excluded by the r
+        filter)."""
         base = os.path.join(self.ckpt_dir, "log", name)
         return (
             self.spark.read.option("basePath", base)
             .parquet(base)
-            .filter(F.col("r") <= upto_round)
+            .filter((F.col("r") <= upto_round) & (F.col("r") > after_round))
             .drop("r")
         )
+
+    def read_seen(self, upto_round: int, base_round: int) -> DataFrame:
+        """The seen set as of ``upto_round``: seen_base (if compacted) ∪
+        seen_adds deltas after it. NOT deduplicated — retry re-adds can
+        duplicate a hash, which is harmless for the anti-join/bloom
+        consumers; callers needing unique rows dropDuplicates."""
+        parts = []
+        if base_round >= 0:
+            parts.append(
+                self.spark.read.parquet(
+                    os.path.join(self._live_dir(base_round), "seen_base")
+                )
+            )
+        if upto_round > base_round:
+            parts.append(self.read_log("seen_adds", upto_round, after_round=base_round))
+        if not parts:
+            return self.spark.createDataFrame([], "url_hash long, partition_id int")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ---------------- seed ----------------
 
@@ -310,7 +358,7 @@ class CrawlEngine:
         if manifest is None:
             frontier = self.seed_frontier()
             empty_seen = self.spark.createDataFrame([], "url_hash long, partition_id int")
-            seen_urls, sketches = SEEN.add_to_seen(
+            _, sketches = SEEN.add_to_seen(
                 frontier,
                 empty_seen,
                 SEEN.empty_sketches(
@@ -321,12 +369,23 @@ class CrawlEngine:
                 ),
                 self.cfg.n_seen_partitions,
             )
-            live = {"frontier": frontier, "seen_urls": seen_urls, "sketches": sketches}
+            live = {"frontier": frontier, "sketches": sketches}
             deltas = {
-                "enqueue_log": frontier.select("url", "url_hash", F.lit(0).alias("round"))
+                "enqueue_log": frontier.select("url", "url_hash", F.lit(0).alias("round")),
+                "seen_adds": frontier.select(
+                    "url_hash",
+                    SEEN.partition_of(
+                        F.col("url_hash"), self.cfg.n_seen_partitions
+                    ).alias("partition_id"),
+                ),
             }
             n_seeds = frontier.count()
-            counters = {"next_seq": n_seeds, "total_visits": 0, "pending": n_seeds}
+            counters = {
+                "next_seq": n_seeds,
+                "total_visits": 0,
+                "pending": n_seeds,
+                "seen_base_round": -1,
+            }
             self._write_state(0, live, deltas, counters)
             manifest = {"round": 0, **counters}
 
@@ -364,6 +423,10 @@ class CrawlEngine:
         scheduled = ranked.filter(
             F.col("host_rank") <= F.coalesce(F.col("budget"), F.lit(1))
         ).drop("budget", "host_rank")
+        # three consumers (deferred anti-join, sequencer, fetch input):
+        # persist so the rank window runs once per round
+        scheduled = scheduled.persist()
+        caches = [scheduled]
         # deferred = everything not scheduled (rows pruned by the group
         # limit never materialize a rank — recover them by anti-join)
         deferred = frontier.join(
@@ -433,7 +496,9 @@ class CrawlEngine:
         failed = fetched.filter(
             (F.col("status") >= 500) & (F.col("retry_count") < cfg.max_retries)
         )
-        seen_urls, sketches = state["seen_urls"], state["sketches"]
+        base_round = manifest.get("seen_base_round", -1)
+        seen_urls = self.read_seen(rnd - 1, base_round)
+        sketches = state["sketches"]
         if n_failed > 0:
             seen_urls = seen_urls.join(
                 failed.select("url_hash"), "url_hash", "left_anti"
@@ -499,7 +564,9 @@ class CrawlEngine:
         )
 
         # Bloom-prefiltered anti-join vs seen (retries pass: just deleted)
-        admitted = SEEN.filter_unseen(candidates, seen_urls, sketches, cfg.n_seen_partitions)
+        admitted = SEEN.filter_unseen(
+            candidates, seen_urls, sketches, cfg.n_seen_partitions, caches=caches
+        )
 
         # assign discovery_seq to new links in canonical order — this is
         # the stream that scales with frontier expansion, so it MUST be
@@ -509,6 +576,7 @@ class CrawlEngine:
             ["parent_visit_seq", "in_page_pos", "url"],
             seq_col="discovery_seq",
             start=next_seq,
+            caches=caches,
         )
         retry_admits = admitted.filter(F.col("is_new") == 0)
         admitted_final = new_admits.unionByName(retry_admits).select(
@@ -527,14 +595,12 @@ class CrawlEngine:
                 sketches,
                 cfg.n_seen_partitions,
             )
-        if n_admitted > 0:
-            new_hashes = admitted_final.select(
-                "url_hash",
-                SEEN.partition_of(F.col("url_hash"), cfg.n_seen_partitions).alias(
-                    "partition_id"
-                ),
-            )
-            seen_urls = seen_urls.unionByName(new_hashes).dropDuplicates(["url_hash"])
+        new_hashes = admitted_final.select(
+            "url_hash",
+            SEEN.partition_of(F.col("url_hash"), cfg.n_seen_partitions).alias(
+                "partition_id"
+            ),
+        )
 
         new_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(
             admitted_final
@@ -564,14 +630,15 @@ class CrawlEngine:
             )
         )
 
+        compact = rnd % cfg.seen_compact_every == 0
         counters = {
             "next_seq": next_seq + n_new,
             "total_visits": total_visits + n_scheduled,
             "pending": manifest.get("pending", n_scheduled) - n_scheduled + n_admitted,
+            "seen_base_round": rnd if compact else base_round,
         }
         live = {
             "frontier": new_frontier,
-            "seen_urls": seen_urls,
             "sketches": sketches,
         }
         deltas = {
@@ -583,12 +650,23 @@ class CrawlEngine:
             ),
             "doc_lines": doc_lines,
         }
+        if compact:
+            # fold base ∪ deltas ∪ this round's adds into a fresh base:
+            # the only O(total seen) write, amortized over K rounds
+            live["seen_base"] = seen_urls.unionByName(new_hashes).dropDuplicates(
+                ["url_hash"]
+            )
+        else:
+            # steady state: the seen set's checkpoint cost is O(new URLs)
+            deltas["seen_adds"] = new_hashes
         self._write_state(rnd, live, deltas, counters)
         fetched.unpersist()
         admitted_final.unpersist()
-        # drop intermediate caches (e.g. filter_unseen's flagged frame);
+        # drop this round's intermediate caches (filter_unseen's flagged
+        # frame, the sequencer's ranged frame, the scheduled set) —
         # everything live is on disk in the checkpoint at this point
-        self.spark.catalog.clearCache()
+        for c in caches:
+            c.unpersist()
         return {"round": rnd, **counters}
 
     # ---------------- inspection ----------------
@@ -598,6 +676,9 @@ class CrawlEngine:
         assert manifest is not None, "no checkpoint"
         rnd = manifest["round"]
         out = self._read_live(rnd)
+        out["seen_urls"] = self.read_seen(
+            rnd, manifest.get("seen_base_round", -1)
+        ).dropDuplicates(["url_hash"])
         for name in self.LOG_TABLES:
             out[name] = self.read_log(name, rnd)
         return out

@@ -65,6 +65,10 @@ def empty_sketches(
 
 
 def _load(sk_pdf: pd.DataFrame) -> tuple[BloomFilter, CuckooFilter]:
+    # exactly one sketch row per partition is an invariant (enforced by
+    # the cogroup update shape); reading iloc[0] of >1 rows would be
+    # nondeterministic, so fail loudly instead
+    assert len(sk_pdf) == 1, f"sketch partition has {len(sk_pdf)} rows, expected 1"
     row = sk_pdf.iloc[0]
     return BloomFilter.from_bytes(bytes(row.bloom_bytes)), CuckooFilter.from_bytes(
         bytes(row.cuckoo_bytes)
@@ -76,9 +80,15 @@ def filter_unseen(
     seen_urls: DataFrame,
     sketches: DataFrame,
     n_partitions: int,
+    caches: list | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` (must carry ``url_hash``) whose hash is not
-    in the seen set. Bloom prefilter -> exact anti-join on survivors."""
+    in the seen set. Bloom prefilter -> exact anti-join on survivors.
+
+    The cogrouped frame is persisted (two consumers). Pass ``caches`` (a
+    list) to receive it for unpersisting once the output is consumed;
+    with ``caches=None`` the cache lives until the caller clears it.
+    """
     cand = candidates.withColumn("partition_id", partition_of(F.col("url_hash"), n_partitions))
     out_schema = T.StructType(
         cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
@@ -103,6 +113,8 @@ def filter_unseen(
         .applyInPandas(probe, out_schema)
         .persist()  # consumed twice below; avoids re-running the cogroup
     )
+    if caches is not None:
+        caches.append(flagged)
     definitely_new = flagged.filter(~F.col("maybe_seen"))
     # exact check only for bloom-positive rows (FPs + true seen)
     suspects = flagged.filter(F.col("maybe_seen"))
@@ -143,16 +155,16 @@ def add_to_seen(
             }
         )
 
-    updated = (
+    # the cogroup emits exactly one row per partition present on EITHER
+    # side — a partition with no new keys re-emits its sketch unchanged
+    # (update() with an empty hash frame is a no-op), so no anti-join
+    # union of "untouched" rows: that union double-emitted cold
+    # partitions, growing the checkpointed sketch table every round
+    new_sketches = (
         hashes.groupBy("partition_id")
         .cogroup(sketches.groupBy("partition_id"))
         .applyInPandas(update, SKETCH_SCHEMA)
     )
-    # partitions with no new keys keep their old sketch row
-    untouched = sketches.join(
-        hashes.select("partition_id").distinct(), "partition_id", "left_anti"
-    )
-    new_sketches = updated.unionByName(untouched)
     new_seen = seen_urls.unionByName(
         hashes.select("url_hash", "partition_id")
     ).dropDuplicates(["url_hash"])
@@ -193,15 +205,12 @@ def apply_sketch_delta(
             }
         )
 
-    updated = (
+    # one row per sketch partition, touched or not (see add_to_seen note)
+    return (
         tagged.groupBy("partition_id")
         .cogroup(sketches.groupBy("partition_id"))
         .applyInPandas(update, SKETCH_SCHEMA)
     )
-    untouched = sketches.join(
-        tagged.select("partition_id").distinct(), "partition_id", "left_anti"
-    )
-    return updated.unionByName(untouched)
 
 
 def delete_from_seen(
@@ -225,6 +234,7 @@ def delete_from_seen(
 
     def update(key, h_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
         if sk_pdf.empty:
+            # delete aimed at a partition with no sketch: nothing to emit
             return pd.DataFrame(columns=[f.name for f in SKETCH_SCHEMA.fields])
         bloom, cuckoo = _load(sk_pdf)
         cuckoo.delete(h_pdf["url_hash"].to_numpy(dtype=np.int64))
@@ -236,14 +246,11 @@ def delete_from_seen(
             }
         )
 
-    updated = (
+    # one row per sketch partition, touched or not (see add_to_seen note)
+    new_sketches = (
         hashes.groupBy("partition_id")
         .cogroup(sketches.groupBy("partition_id"))
         .applyInPandas(update, SKETCH_SCHEMA)
     )
-    untouched = sketches.join(
-        hashes.select("partition_id").distinct(), "partition_id", "left_anti"
-    )
-    new_sketches = updated.unionByName(untouched)
     new_seen = seen_urls.join(hashes.select("url_hash"), "url_hash", "left_anti")
     return new_seen, new_sketches

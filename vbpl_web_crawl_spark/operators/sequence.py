@@ -36,6 +36,7 @@ def global_sequence(
     start: int = 0,
     num_partitions: int | None = None,
     approx_rows: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Append ``seq_col`` = dense global rank (start, start+1, ...) in
     ``sort_cols`` order, without a single-task global window.
@@ -44,6 +45,11 @@ def global_sequence(
     threshold), a plain window is cheaper (saves the count job + cache);
     both paths produce identical output (unit-tested), so the switch is
     purely physical.
+
+    The large path persists the range-partitioned frame (count job +
+    downstream read). Pass ``caches`` (a list) to receive it for
+    unpersisting once the output is consumed; with ``caches=None`` the
+    cache lives until the caller clears it.
     """
     if approx_rows is not None and approx_rows <= SMALL_INPUT_THRESHOLD:
         from pyspark.sql import Window
@@ -56,6 +62,8 @@ def global_sequence(
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(*sort_cols)
     ranged = ranged.persist()
+    if caches is not None:
+        caches.append(ranged)
     counts = (
         ranged.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid")
