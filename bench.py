@@ -90,14 +90,22 @@ def run_scaling() -> dict:
     local[N] and local[4N]. N=4 -> 4N=16: at full 32-core occupancy this
     VM drops per-core clocks ~25% (measured with pure multiprocessing and
     plain zlib loops, no Spark), so the 4->16 pair isolates the engine's
-    scaling from the host's frequency scaling."""
+    scaling from the host's frequency scaling.
+
+    Noise protocol: each level is sampled in TWO separate probe
+    invocations, interleaved N/4N/N/4N, so one transient host-steal
+    window cannot bias a single level; within each invocation the probe
+    takes min-of-reps (steal only adds time, so min converges to the
+    true cost). Alongside wall-clock efficiency the probe meters kernel
+    CPU seconds per image; efficiency_cpu_normalized multiplies out the
+    per-core slowdown the host applies at higher occupancy."""
     probe = os.path.join(_REPO, "tools", "scaling_probe.py")
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "16000"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "24000"))
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-    results = {}
-    for cpus, reps in ((n_small, 2), (n_small * 4, 4)):
-        # more reps at the faster level: min-of-N filters host-steal
-        # noise, and the 4N runs are short enough to afford it
+    n_big = n_small * 4
+    best: dict[int, dict] = {}
+    # more reps at the faster level: its runs are short enough to afford
+    for cpus, reps in ((n_small, 2), (n_big, 3), (n_small, 1), (n_big, 3)):
         out = subprocess.run(
             [sys.executable, probe, str(cpus), str(n), str(reps)],
             capture_output=True,
@@ -105,14 +113,22 @@ def run_scaling() -> dict:
             timeout=900,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t_n, t_4n = results[n_small]["wall_s"], results[n_small * 4]["wall_s"]
-    return {
+        r = json.loads(line)
+        if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
+            best[cpus] = r
+    t_n, t_4n = best[n_small]["wall_s"], best[n_big]["wall_s"]
+    eff = t_n / (4.0 * t_4n)
+    result = {
         "n_images": n,
-        f"local{n_small}": results[n_small],
-        f"local{n_small * 4}": results[n_small * 4],
-        "efficiency_n_to_4n": round(t_n / (4.0 * t_4n), 3),
+        f"local{n_small}": best[n_small],
+        f"local{n_big}": best[n_big],
+        "efficiency_n_to_4n": round(eff, 3),
     }
+    cpu_n = best[n_small].get("cpu_ms_per_image")
+    cpu_4n = best[n_big].get("cpu_ms_per_image")
+    if cpu_n and cpu_4n:
+        result["efficiency_cpu_normalized"] = round(eff * (cpu_4n / cpu_n), 3)
+    return result
 
 
 def main() -> None:

@@ -196,6 +196,48 @@ def test_seen_checkpoint_is_delta_not_full_rewrite(crawl):
         assert n_delta == expected, (r, n_delta, expected)
 
 
+def test_docmap_title_search_fallback(spark, tmp_path_factory):
+    """J7 (vbpl.py:727-749): doc-map links WITH an ItemID resolve
+    directly; title-only ones route through the portal search endpoint
+    and the search result is crawled — visit order still exactly matches
+    the oracle, and both paths demonstrably fire."""
+    cfg = CrawlConfig(
+        **{
+            **CFG.__dict__,
+            "site": SITE.SiteConfig(
+                n_pages=1,
+                docs_per_page=12,
+                related_per_doc=3,
+                max_attachments=1,
+                fault_every=1000,
+                private_every=1000,
+                docmap_every=2,  # dense: every even related id is a doc-map link
+            ),
+        }
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_docmap"))
+    eng = CrawlEngine(spark, cfg, ckpt)
+    eng.run(resume=False)
+    oracle = run_oracle(cfg.site, cfg.robots, cfg.round_window_s, cfg.max_retries)
+    state = eng.final_state()
+    order = [r.url for r in state["visit_log"].orderBy("visit_seq").select("url").collect()]
+    assert order == oracle.visit_order
+    assert {r.url for r in state["enqueue_log"].select("url").collect()} == oracle.seen
+    # the fallback path actually fired: search pages were fetched...
+    searches = [u for u in order if "/search/" in u]
+    assert searches, "title-only doc-map links must route through search"
+    # ...and no raw docmap URL ever reached the frontier
+    assert not any("/docmap/" in u for u in oracle.seen)
+    assert not any("/docmap/" in u for u in order)
+    # every search visit later yields its resolved doc (if not seen before)
+    import re as _re
+
+    for s in searches:
+        rid = int(_re.search(r"q=v(\d+)", s).group(1))
+        cls = s.split("/search/")[1].split("?")[0]
+        assert SITE.doc_url(cls, rid) in oracle.seen
+
+
 def test_compaction_and_gc_preserve_state(spark, tmp_path_factory):
     """Aggressive compaction (every 2 rounds) + GC: the final seen set,
     visit order and resume behavior are unchanged; folded seen_adds

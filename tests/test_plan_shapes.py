@@ -39,6 +39,30 @@ def test_flagship_uses_window_group_limit(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fuzzy_serial_join_blocks_on_length_band(spark, tmp_path):
+    """J6 scale guard: the reference-parity fuzzy join must carry the
+    serial-length band as a second equi-key — doc_type alone is a
+    near-cartesian block at 10^8 docs."""
+    from vbpl_web_crawl_spark.plans.reference_queries import REFERENCE_QUERIES
+    from vbpl_web_crawl_spark.sources.relational_gen import (
+        load_reference_tables,
+        write_reference_tables,
+    )
+
+    out = str(tmp_path / "ref_tables")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    write_reference_tables(out)
+    tables = load_reference_tables(spark, out)
+    fn, _ = REFERENCE_QUERIES["fuzzy_serial_candidates"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fn(tables).explain("formatted")
+    plan = buf.getvalue()
+    assert "a_band" in plan and "b_band" in plan
+
+
 def test_scan_prunes_columns(spark):
     plan = _plan(spark, "point_lookup_order")
     # projection pruning: unused columns never leave the scan

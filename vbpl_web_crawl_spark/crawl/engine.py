@@ -52,7 +52,12 @@ from pyspark.sql import types as T
 
 from vbpl_web_crawl_spark.crawl import fsio
 from vbpl_web_crawl_spark.crawl import politeness as P
-from vbpl_web_crawl_spark.functions.scalars import canonicalize_url, url_hash, url_host
+from vbpl_web_crawl_spark.functions.scalars import (
+    canonicalize_url,
+    resolve_docmap_link,
+    url_hash,
+    url_host,
+)
 from vbpl_web_crawl_spark.operators import seen as SEEN
 from vbpl_web_crawl_spark.operators import sequence as SEQ
 from vbpl_web_crawl_spark.sources import images as IMG
@@ -517,13 +522,15 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("in_page_pos"),
         )
 
-        # 5. EXPAND — links in canonical discovery order
+        # 5. EXPAND — links in canonical discovery order. Doc-map hrefs
+        # resolve inline (J7): ItemID -> direct doc URL, title-only ->
+        # portal-search URL (the secondary index), one Catalyst coalesce
         links = (
             fetched.filter(F.col("status") == 200)
             .select("visit_seq", F.posexplode_outer("links").alias("pos", "link"))
             .filter(F.col("link").isNotNull())
             .select(
-                canonicalize_url(F.col("link.l_url")).alias("url"),
+                canonicalize_url(resolve_docmap_link(F.col("link.l_url"))).alias("url"),
                 F.col("link.l_doc_type").alias("doc_type"),
                 F.col("visit_seq").alias("parent_visit_seq"),
                 F.col("link.in_page_pos").alias("in_page_pos"),

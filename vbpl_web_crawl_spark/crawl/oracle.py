@@ -15,10 +15,27 @@ The equality tests assert:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from vbpl_web_crawl_spark.crawl import politeness as P
 from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+_DOCMAP_RE = re.compile(
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)/docmap/([^/?#]+)\?(?:ItemID=(\d+)&)?t=([^&#]+)"
+)
+
+
+def resolve_docmap(url: str) -> str:
+    """Pure-Python mirror of functions.scalars.resolve_docmap_link (J7):
+    ItemID -> direct doc URL, title-only -> search URL."""
+    m = _DOCMAP_RE.match(url)
+    if not m:
+        return url
+    scheme_host, doc_class, item_id, title = m.groups()
+    if item_id:
+        return f"{scheme_host}/doc/{doc_class}/{item_id}"
+    return f"{scheme_host}/search/{doc_class}?q={title}"
 
 
 @dataclass
@@ -119,7 +136,7 @@ def run_oracle(
             if page.image_id is not None:
                 res.images.add(page.image_id)
             for u, dt, pos in page.links:
-                link_buffer.append((visit_seq, pos, u, dt, row["depth"] + 1))
+                link_buffer.append((visit_seq, pos, resolve_docmap(u), dt, row["depth"] + 1))
 
         # 5. expand: robots filter, dedup (retries first, then first
         # discovery), unseen gate, canonical seq assignment

@@ -136,6 +136,38 @@ def name_overflow(name: Column, max_len: int = 400) -> Column:
     return F.when(F.length(name) >= max_len, F.lit(None).cast("string")).otherwise(name)
 
 
+# --- F16: literal (non-regex) replace — watermark strip and the
+# '[' -> '\n[' pre-split normalization (app/service/anle.py:223,253) ---
+
+
+def literal_replace(c: Column, find: str, replace: str) -> Column:
+    return F.replace(c, F.lit(find), F.lit(replace))
+
+
+def strip_watermark(text: Column, watermark: str) -> Column:
+    """Remove every literal occurrence of the portal watermark string
+    from extracted text (anle.py:223)."""
+    return literal_replace(text, watermark, "")
+
+
+# --- J7: doc-map link resolution with title-search fallback
+# (app/service/vbpl.py:727-749): a doc-map href with an ItemID resolves
+# directly to the document URL; one without routes through the portal's
+# title search (the secondary index), COALESCEd into one frontier URL.
+# Pure Catalyst — runs inside the EXPAND stage's codegen span. ---
+
+
+def resolve_docmap_link(url: Column) -> Column:
+    is_docmap = url.rlike(r"://[^/]+/docmap/")
+    scheme_host = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    doc_class = F.regexp_extract(url, r"/docmap/([^/?#]+)", 1)
+    item_id = F.nullif(F.regexp_extract(url, r"[?&]ItemID=(\d+)", 1), F.lit(""))
+    title = F.nullif(F.regexp_extract(url, r"[?&]t=([^&#]+)", 1), F.lit(""))
+    direct = F.concat(scheme_host, F.lit("/doc/"), doc_class, F.lit("/"), item_id)
+    search = F.concat(scheme_host, F.lit("/search/"), doc_class, F.lit("?q="), title)
+    return F.when(~is_docmap, url).otherwise(F.coalesce(direct, search))
+
+
 # --- F19: datetime -> unix ts (app/model/base.py:27-35) ---
 
 
@@ -181,8 +213,11 @@ def canonicalize_url(url: Column) -> Column:
         F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
     )
-    u = F.regexp_replace(u, r":80(/|$)", "$1")  # default http port
-    u = F.regexp_replace(u, r":443(/|$)", "$1")  # default https port
+    # default ports: anchored to the authority (scheme://host:port) and
+    # scheme-specific — ':80' in a path segment must survive, and :443
+    # is only a default for https
+    u = F.regexp_replace(u, r"^(http://[^/?#]*?):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*?):443([/?#]|$)", "$1$2")
     # collapse duplicate slashes after the scheme
     u = F.regexp_replace(u, r"(?<!:)//+", "/")
     # empty path -> '/'

@@ -48,6 +48,11 @@ class SiteConfig:
     max_attachments: int = 3
     fault_every: int = 37  # every Nth doc id fails on attempt 0
     private_every: int = 50  # every Nth doc link points under /private/
+    # every Nth related-doc id is linked through a doc-map href instead
+    # of a direct doc URL (reference doc-map table, vbpl.py:654-704);
+    # half of those carry an ItemID, half are title-only and must be
+    # resolved through the portal search (vbpl.py:727-749). 0 disables.
+    docmap_every: int = 5
 
 
 @dataclass
@@ -118,6 +123,19 @@ def attachment_url(doc_class: str, doc_id: int, k: int) -> str:
     return f"https://{HOST_FILES}/attachment/{doc_class}/{doc_id}/{k}"
 
 
+def docmap_url(doc_class: str, doc_id: int, with_id: bool) -> str:
+    """Doc-map href (vbpl.py:654-704). ``with_id=False`` models the
+    reference rows whose href lacks an ItemID — those must be resolved
+    by title through the portal search (vbpl.py:727-749)."""
+    if with_id:
+        return f"https://{HOST_MAIN}/docmap/{doc_class}?ItemID={doc_id}&t=v{doc_id}"
+    return f"https://{HOST_MAIN}/docmap/{doc_class}?t=v{doc_id}"
+
+
+def search_url(doc_class: str, title: str) -> str:
+    return f"https://{HOST_MAIN}/search/{doc_class}?q={title}"
+
+
 def doc_id_for(cfg: SiteConfig, doc_class: str, page: int, pos: int) -> int:
     """Doc ids overlap across pages ~10% of the time (cross-page dedup):
     every 10th slot re-links a doc from the previous page."""
@@ -176,7 +194,11 @@ def fetch(cfg: SiteConfig, url: str, attempt: int = 0) -> Page:
                 (h >> (r * 7)) % cfg.docs_per_page,
             )
             if rel != did:
-                links.append((doc_url(doc_class, rel), doc_class, pos))
+                if cfg.docmap_every and rel % cfg.docmap_every == 0:
+                    with_id = (rel // cfg.docmap_every) % 2 == 0
+                    links.append((docmap_url(doc_class, rel, with_id), doc_class, pos))
+                else:
+                    links.append((doc_url(doc_class, rel), doc_class, pos))
                 pos += 1
         n_att = h % (cfg.max_attachments + 1)
         for k in range(n_att):
@@ -190,6 +212,18 @@ def fetch(cfg: SiteConfig, url: str, attempt: int = 0) -> Page:
             caption=f"doc {doc_class} {did}",
             fulltext=synth_fulltext(doc_class, did),
         )
+
+    if "/search/" in url:
+        # portal title search (vbpl.py:727-749): q=v<doc_id> resolves to
+        # the document's canonical URL — the secondary index the engine's
+        # EXPAND falls back to for id-less doc-map links
+        doc_class = url.split("/search/", 1)[1].split("?", 1)[0]
+        q = url.split("q=", 1)[1]
+        try:
+            rid = int(q.lstrip("v"))
+        except ValueError:
+            return Page(url, 404, "search")
+        return Page(url, 200, "search", [(doc_url(doc_class, rid), doc_class, 0)])
 
     if "/attachment/" in url:
         doc_class, did_s, k_s = url.rsplit("/", 3)[-3:]
