@@ -36,6 +36,7 @@ HEADLINE = [
     "fuzzy_join_part_names",
     "dedup_exact_clusters",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_verified_pairs",
     "fingerprint_simhash",
     "text_stats_by_lang",
     "ann_cosine_topk",

@@ -290,6 +290,205 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash, engine path: integer signatures (xxhash64(shingle, seed)) —
+# 8-byte mins instead of 32-byte md5 hex, ~8x less signature shuffle
+# weight at 100 TB. DuckDB has no xxhash64, so parity moves to the
+# VERIFIED pair set: LSH candidates are checked with exact Jaccard and
+# only pairs >= tau survive; the oracle computes the same tau-pairs via
+# the inverted index. k=16 hashes, 8 bands of 2: P(miss | J>=0.8) =
+# (1-0.64)^8 ~ 3e-4, and the exact-verify step makes precision 1.0, so
+# the output equals the oracle's exact answer (recall confirmed by the
+# gate at every SF it runs at).
+# ---------------------------------------------------------------------------
+
+_MINHASH_K_INT = 16
+_MINHASH_BANDS_INT = 8
+_MINHASH_VERIFY_TAU = 0.8
+
+
+@_register(
+    "dedup_minhash_verified_pairs",
+    f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+      >= {_MINHASH_VERIFY_TAU}
+""",
+)
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    # integer signature: min over shingles of xxhash64(shingle, seed_i)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(_MINHASH_K_INT)
+        ]
+    )
+    # band key: hash the band's two signature longs back to one long —
+    # the band join shuffles (long, long) keys only
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(_MINHASH_BANDS_INT)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard verify, restricted to candidates (bucket-bounded):
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _MINHASH_VERIFY_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup, engine path: cluster key = fingerprint64 (xxhash64 of
+# normalized text) so the dedup shuffle moves 8-byte keys, never bodies.
+# DuckDB lacks xxhash64 -> parity on the cluster-SIZE DISTRIBUTION with
+# md5-keyed clusters (identical unless either hash collides, which the
+# gate would expose).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact_by_fingerprint",
+    f"""
+WITH clusters AS (
+  SELECT md5({_NORM_SQL}) AS fp, count(*) AS cluster_size
+  FROM documents GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters
+FROM clusters GROUP BY cluster_size
+""",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.fingerprint64(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality score histogram (functions/text.py:quality_score) — the corpus
+# filter stage of a training-data pipeline, oracle-gated.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_score_histogram",
+    f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter({_TOKENS_SQL},
+             x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) AS stop_hits
+  FROM documents
+)
+SELECT lang,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+       count(*) AS n_docs
+FROM t GROUP BY lang, quality
+""",
+)
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.round(TX.quality_score(F.col("text")), 2).alias("quality"))
+        .groupBy("lang", "quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16 gate: literal (non-regex) replace — the reference's watermark strip
+# and '[' -> '\n[' normalization (anle.py:223,253) as a corpus operator.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "literal_replace_totals",
+    """
+SELECT lang,
+       CAST(sum(length(text) - length(replace(text, 'the', ''))) AS BIGINT)
+         AS stripped_chars,
+       CAST(sum(length(replace(text, ' ', '_'))) AS BIGINT) AS underscored_chars
+FROM documents GROUP BY lang
+""",
+)
+def q_literal_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbpl_web_crawl_spark.functions.scalars import literal_replace
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(
+            F.length(F.col("text")) - F.length(literal_replace(F.col("text"), "the", ""))
+        )
+        .cast("long")
+        .alias("stripped_chars"),
+        F.sum(F.length(literal_replace(F.col("text"), " ", "_")))
+        .cast("long")
+        .alias("underscored_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash document fingerprint: 16-bit simhash over distinct tokens, bit
 # source = md5 hex prefix -> int (identical both engines). Near-dup pairs
 # = equal simhash (Hamming-0 block; wider Hamming radii probe rotated
@@ -397,8 +596,82 @@ _DIM = 64
 
 
 def _plane(h: int) -> list[int]:
-    # deterministic pseudo-random ±1/±2 weights, identical in SQL below
-    return [((d + 1) * (h + 3)) % 7 - 3 for d in range(_DIM)]
+    """Deterministic Rademacher (±1) hyperplane weights from splitmix64.
+    Hash-derived signs approximate rotation-invariant random planes, so
+    the sign-LSH collision law P(same side) = 1 - theta/pi — which the
+    (planes, tables) sizing rule below relies on — actually holds;
+    structured (e.g. linear-in-d) weights correlate the planes and break
+    the recall math. Identical literals are inlined into the DuckDB SQL."""
+    from vbpl_web_crawl_spark.sources.images import splitmix64
+
+    return [1 if (int(splitmix64(h * 1024 + d)) >> 13) & 1 else -1 for d in range(_DIM)]
+
+
+# --- n -> (planes, tables) rule for sign-LSH blocking -----------------
+#
+# A FIXED plane count degenerates at scale: with p planes the expected
+# bucket holds n / 2^p vectors and the bucket self-join is quadratic in
+# that. Keep the bucket near a constant target instead:
+#
+#     planes(n)  = ceil(log2(n / target_bucket))         (>= 1)
+#
+# More planes cut recall for a single table — P(pair with cosine tau
+# shares a bucket) = (1 - acos(tau)/pi)^planes — so recall is restored
+# with T independent tables (band-OR, multi-probe's batch form):
+#
+#     tables(n)  = ceil( ln(1 - recall) / ln(1 - p_same^planes) )
+#
+# Candidate cost is then O(n * tables * target_bucket) — linear in n —
+# while recall stays >= the floor by construction. Property-tested in
+# tests/test_properties.py::test_embedding_lsh_recall_floor.
+
+
+def lsh_params(
+    n_vectors: int,
+    target_bucket: int = 256,
+    tau: float = 0.8,
+    recall: float = 0.9,
+) -> tuple[int, int]:
+    """(planes, tables) for sign-LSH near-dup blocking at corpus size n."""
+    import math
+
+    planes = max(1, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
+    p_same = 1.0 - math.acos(tau) / math.pi
+    p_bucket = p_same**planes
+    tables = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_bucket)))
+    return planes, tables
+
+
+def embedding_lsh_candidate_pairs(emb: DataFrame, planes: int, tables: int) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs sharing a sign-LSH bucket in ANY of
+    ``tables`` independent plane sets (band-OR). Each table's bucket join
+    is bounded by bucket size; the union is deduplicated on the pair."""
+
+    def dot_plane(col, h: int):
+        plane = F.array(*[F.lit(float(v)) for v in _plane(h)])
+        return F.aggregate(
+            F.zip_with(col, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    out = None
+    for t in range(tables):
+        bucket = None
+        for j in range(planes):
+            h = t * planes + j  # independent hyperplanes per table
+            term = F.when(dot_plane(F.col("embedding"), h) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            bucket = term if bucket is None else bucket + term
+        b = emb.select("vec_id", bucket.alias("bucket"))
+        x = b.select(F.col("vec_id").alias("vec_a"), "bucket")
+        y = b.select(F.col("vec_id").alias("vec_b"), "bucket")
+        pairs = x.join(y, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
 
 
 _PLANES_SQL = ", ".join(
