@@ -20,7 +20,7 @@ def test_corpus_schema_and_invariants(spark):
     corpus = synth_corpus(spark, 48, partitions=4)
     rows = corpus.collect()
     assert len(rows) == 48
-    assert {r.fmt for r in rows} == {"png", "vdct"}
+    assert {r.fmt for r in rows} == {"png", "jpeg", "vdct"}
     r = rows[0]
     px = IMG.decode_image(bytes(r.bytes), r.fmt)
     assert px.shape == (r.h, r.w, 3)

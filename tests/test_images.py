@@ -37,7 +37,7 @@ def test_corpus_record_invariants():
         # caption equality + phash recomputation
         assert rec["caption"] == I.synth_caption(iid)
         assert I.phash64(dec) == rec["phash"]
-    assert seen_fmts == {"png", "vdct"}  # both codec paths exercised
+    assert seen_fmts == {"png", "jpeg", "vdct"}  # all codec paths exercised
 
 
 def test_determinism_across_calls():
@@ -56,4 +56,4 @@ def test_phash_similar_images_close():
 
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        I.decode_image(b"xxxx", "jpeg")
+        I.decode_image(b"xxxx", "webp")

@@ -20,7 +20,7 @@ DOC1 = [
     "Điều 1. Phạm vi điều chỉnh",
     "Nghị định này quy định chi tiết.",
     "Áp dụng cho mọi tổ chức.",
-    "Mục 1",
+    "Mục I",
     "ĐỐI TƯỢNG",
     "Điều 2. Đối tượng áp dụng",
     "Cá nhân và tổ chức.",
@@ -60,7 +60,7 @@ def test_hierarchy_carry_forward_and_reset(lines_df):
     assert out[1].part_number is None
     # Điều 2: inside Mục 1 of chapter I
     assert out[2].chapter_number == "I"
-    assert out[2].part_number == "1"
+    assert out[2].part_number == "I"
     assert out[2].part_name == "ĐỐI TƯỢNG"  # W4 name-on-next-line
     # Điều 3: chapter II resets Mục (vbpl.py:265,273)
     assert out[3].chapter_number == "II"
@@ -80,6 +80,30 @@ def test_sub_parts_with_lookahead(lines_df):
     assert parts["I"].sub_section_part_title == "Mẫu tờ khai"
     # title on next line when the marker line has none (vbpl.py:401-413)
     assert parts["II"].sub_section_part_title == "Mẫu báo cáo"
+
+
+def test_reference_marker_variants(spark):
+    """The reference's exact alternate marker forms (vbpl.py:36-43):
+    'Phần hai' (no 'thứ'), 'Điều thứ N', and the OCR 'Mu.c' part
+    variant must all be recognized."""
+    rows = [
+        ("d3", 0, "Phần hai"),
+        ("d3", 1, "QUY ĐỊNH RIÊNG"),
+        ("d3", 2, "Chương IV"),
+        ("d3", 3, "TÊN CHƯƠNG"),
+        ("d3", 4, "Muxc II"),  # OCR-damaged 'Mục' — reference's Mu.c form
+        ("d3", 5, "TÊN MỤC"),
+        ("d3", 6, "Điều thứ 9. Quy định cũ"),
+        ("d3", 7, "Thân điều chín."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, line_no int, line string")
+    out = {r.section_number: r for r in sectionize(df).collect()}
+    assert set(out) == {9}
+    assert out[9].section_name == "Quy định cũ"
+    assert out[9].big_part_number == "hai"
+    assert out[9].chapter_number == "IV"
+    assert out[9].part_number == "II"
+    assert out[9].section_content == "Thân điều chín."
 
 
 def test_name_overflow_rule(spark):

@@ -29,14 +29,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# marker regexes (reference regexes at app/service/vbpl.py:36-43)
-RE_BIG_PART = r"^Phần thứ\s+(\S+)"
-RE_CHAPTER = r"^Chương\s+([IVXLCDM]+|\d+)"
-RE_PART = r"^Mục\s+(\d+|[IVXLCDM]+)"
-RE_MINI_PART = r"^Tiểu mục\s+(\d+)"
-RE_SECTION = r"^Điều\s+(\d+)\s*[.:]?\s*(.*)$"
-RE_APPENDIX = r"^PHỤ LỤC"
-RE_SUB_PART = r"^Phụ lục\s+([IVXLCDM]+|\d+)\s*[.:]?\s*(.*)$"
+# marker regexes — exact mirrors of the reference's class constants at
+# app/service/vbpl.py:36-43 (capture groups added for number/name
+# extraction; matching breadth is identical):
+#   _find_big_part_regex  '^((Phần)|(Phần thứ)) (nhất|hai|...|mười)$'
+#   _find_section_regex   '^((Điều)|(Điều thứ)) \d+'
+#   _find_chapter_regex   '^Chương [IVX]+'
+#   _find_part_regex(_2)  '^Mục [IVX]+' / '^Mu.c [IVX]+' (OCR variant)
+#   _find_mini_part_regex '^Tiểu mục [IVX]+'
+#   _find_start_sub_part  '^PHỤ LỤC$'
+#   _find_sub_part_regex  '^Phụ(\s)*(\n)*lục [IVX]+'
+_ORDINALS = "nhất|hai|ba|bốn|năm|sáu|bảy|tám|chín|mười"
+RE_BIG_PART = rf"^Phần(?: thứ)? ({_ORDINALS})$"
+RE_CHAPTER = r"^Chương ([IVX]+)"
+RE_PART = r"^(?:Mục|Mu.c) ([IVX]+)"
+RE_MINI_PART = r"^Tiểu mục ([IVX]+)"
+RE_SECTION = r"^Điều(?: thứ)? (\d+)\s*[.:]?\s*(.*)$"
+RE_APPENDIX = r"^PHỤ LỤC$"
+RE_SUB_PART = r"^Phụ\s*lục ([IVX]+)\s*[.:]?\s*(.*)$"
 RE_RULE = r"^_{3,}\s*$"
 
 NAME_OVERFLOW = 400  # app/service/vbpl.py:334-336

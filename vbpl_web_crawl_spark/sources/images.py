@@ -140,27 +140,58 @@ def vdct_decode(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# Generic entry points used by the Spark UDFs
+# Codec registry — the pluggable decode boundary (X3). Built-ins: png
+# (lossless, own impl), jpeg (real baseline JPEG, sources/jpeg.py), vdct
+# (deterministic lossy stand-in). A deployment with PIL/libjpeg/ffmpeg
+# registers richer codecs here (e.g. register_codec("webp", enc, dec))
+# and every Spark-side consumer — fetch UDF, decode stats, thumbnailer —
+# picks them up without change.
 # --------------------------------------------------------------------------
+
+from collections.abc import Callable as _Callable  # noqa: E402
+
+_CODECS: dict[str, tuple[_Callable, _Callable]] = {}
+
+
+def register_codec(fmt: str, encode: _Callable, decode: _Callable) -> None:
+    _CODECS[fmt] = (encode, decode)
+
+
+def registered_formats() -> tuple[str, ...]:
+    return tuple(sorted(_CODECS))
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    if fmt == "png":
-        return png_encode(pixels)
-    if fmt == "vdct":
-        return vdct_encode(pixels)
-    raise NotImplementedError(
-        f"format {fmt!r}: real JPEG/WebP decode requires PIL/libjpeg, "
-        "not present in this container — plug in here."
-    )
+    try:
+        enc, _ = _CODECS[fmt]
+    except KeyError:
+        raise NotImplementedError(
+            f"no codec registered for {fmt!r} (have {registered_formats()}); "
+            "register one via images.register_codec(fmt, encode, decode)"
+        ) from None
+    return enc(pixels)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    if fmt == "png":
-        return png_decode(data)
-    if fmt == "vdct":
-        return vdct_decode(data)
-    raise NotImplementedError(f"format {fmt!r} not available in this container")
+    try:
+        _, dec = _CODECS[fmt]
+    except KeyError:
+        raise NotImplementedError(
+            f"no codec registered for {fmt!r} (have {registered_formats()}); "
+            "register one via images.register_codec(fmt, encode, decode)"
+        ) from None
+    return dec(data)
+
+
+def _register_builtins() -> None:
+    from vbpl_web_crawl_spark.sources import jpeg as _jpeg
+
+    register_codec("png", png_encode, png_decode)
+    register_codec("vdct", vdct_encode, vdct_decode)
+    register_codec("jpeg", _jpeg.jpeg_encode, _jpeg.jpeg_decode)
+
+
+_register_builtins()
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -280,11 +311,13 @@ def synth_caption(image_id: str) -> str:
 def synth_image_record(image_id: str) -> dict:
     """Full corpus row for one image_id: bytes, dims, fmt, caption, phash.
 
-    fmt: ~70% png (lossless) / ~30% vdct (lossy), per FIXTURES.md §1.
+    fmt mix: ~60% png (lossless) / 20% jpeg (real baseline JPEG,
+    sources/jpeg.py) / 20% vdct (lossy stand-in), per FIXTURES.md §1.
     """
     pixels = synth_pixels(image_id)
     seed = int(splitmix64(zlib.crc32(image_id.encode()) & 0xFFFFFFFF))
-    fmt = "png" if (seed // 13) % 10 < 7 else "vdct"
+    r = (seed // 13) % 10
+    fmt = "png" if r < 6 else ("jpeg" if r < 8 else "vdct")
     data = encode_image(pixels, fmt)
     return {
         "image_id": image_id,

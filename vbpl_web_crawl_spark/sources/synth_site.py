@@ -85,7 +85,7 @@ def synth_fulltext(doc_class: str, doc_id: int) -> list[str]:
         n_muc = (h >> (c + 2)) % 2
         for m in range(n_muc + 1) if n_muc else [None]:
             if m is not None:
-                lines.append(f"Mục {m + 1}")
+                lines.append(f"Mục {_ROMAN[m]}")
                 lines.append(f"NỘI DUNG MỤC {m + 1}")
             for s in range(1 + (h >> (c * 3)) % 3):
                 dieu += 1
