@@ -424,3 +424,42 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+@_register("audio_feature_stats", None)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: WAV (real codec) corpus -> decode + feature
+    extraction (RMS/ZCR/peak/dominant-frequency) in Arrow batches;
+    roundtrip_exact is the per-row lossless invariant."""
+    from vbpl_web_crawl_spark.sources.corpus import audio_feature_table, synth_audio_corpus
+
+    corpus = synth_audio_corpus(spark, 64, partitions=8)
+    feats = audio_feature_table(corpus)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("roundtrip_exact").cast("int")).alias("n_lossless_ok"),
+        F.round(F.avg("rms"), 3).alias("avg_rms"),
+        F.round(F.avg("zcr"), 5).alias("avg_zcr"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        F.max("peak").alias("max_peak"),
+    )
+
+
+@_register("video_frame_sample_stats", None)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality: frame-sampling plumbing over the stub container
+    (real demux is the documented ffmpeg boundary) — every 4th frame
+    decoded to PNG, per-video frame counts + luma aggregates."""
+    from vbpl_web_crawl_spark.sources.corpus import sample_frames, synth_video_corpus
+
+    videos = synth_video_corpus(spark, 24, partitions=4)
+    frames = sample_frames(videos, stride=4)
+    return (
+        frames.groupBy("video_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
+            F.max("ts_s").alias("last_ts_s"),
+        )
+        .orderBy("video_id")
+    )

@@ -1,12 +1,17 @@
-"""Multimodal corpus plumbing: the image+caption documents table
-(BASELINE.json input_hint schema) as DataFrame operators.
+"""Multimodal corpus plumbing: image+caption, audio, and video tables
+as DataFrame operators (BASELINE.json input_hint schema for images).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata;
-all decode/feature work runs inside Arrow batches via mapInPandas.
-Real JPEG/audio/video codecs are not in this container — decode_image
-raises NotImplementedError for them (sources/images.py), while the
-Spark-side plumbing (schema, batch shape, partitioning) is identical to
-a production deployment with PIL/ffmpeg plugged in.
+Every modality is an opaque ``binary`` column with typed metadata; all
+decode/feature work runs inside Arrow batches via mapInPandas. Codec
+status per modality:
+- images: real PNG + real baseline JPEG (sources/jpeg.py) + the vdct
+  stand-in, behind the images.register_codec registry;
+- audio: real RIFF/WAV PCM16 (sources/audio.py); compressed codecs
+  (mp3/opus) are a documented NotImplementedError boundary (no ffmpeg
+  in this container);
+- video: container parsing is STUBBED (deterministic frame synthesis
+  behind the same boundary) — the frame-sample operator, schema,
+  partitioning and batch shape are real and tested.
 """
 
 from __future__ import annotations
@@ -86,6 +91,181 @@ def decode_features(corpus: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_STATS_SCHEMA.fields])
 
     return corpus.mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality (real WAV codec, sources/audio.py)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def synth_audio_corpus(spark: SparkSession, n: int, partitions: int = 16) -> DataFrame:
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vbpl_web_crawl_spark.sources import audio as AUD
+
+        for pdf in it:
+            recs = [AUD.synth_audio_record(f"aud{int(i):08d}") for i in pdf["id"]]
+            yield pd.DataFrame(recs, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("dominant_freq_hz", T.DoubleType(), False),
+        T.StructField("roundtrip_exact", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_feature_table(corpus: DataFrame) -> DataFrame:
+    """Decode WAV bytes and extract features (RMS, zero-crossing rate,
+    peak, dominant rFFT bin) — one whole-array numpy pass per file
+    inside Arrow batches; ``roundtrip_exact`` re-encodes and compares
+    bytes (WAV PCM16 is lossless, so this is a per-row invariant)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vbpl_web_crawl_spark.sources import audio as AUD
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = AUD.wav_decode(bytes(r.bytes))
+                feats = AUD.audio_features(samples)
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "n_samples": int(samples.shape[0]),
+                        "duration_s": samples.shape[0] / rate,
+                        "rms": feats["rms"],
+                        "zcr": feats["zcr"],
+                        "peak": feats["peak"],
+                        "dominant_freq_hz": feats["dominant_freq_hz"],
+                        "roundtrip_exact": AUD.wav_encode(samples, rate)
+                        == bytes(r.bytes),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return corpus.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video modality — container decode STUBBED (no ffmpeg in container),
+# frame-sample plumbing real: a "video" is k deterministic frames; the
+# sampler decodes only every ``stride``-th frame, which is exactly the
+# batch shape an ffmpeg-backed sampler has (seek + decode keyframes).
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+_VID_MAGIC = b"VSYN"
+
+
+def synth_video_corpus(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Synthetic "videos": VSYN container = magic + frame count + the
+    seed id. Real containers (mp4/webm) raise NotImplementedError in
+    sample_frames — this stub keeps the operator surface testable."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from vbpl_web_crawl_spark.sources.images import splitmix64
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                vid = f"vid{int(i):08d}"
+                n_frames = 8 + int(splitmix64(int(i))) % 25
+                payload = _VID_MAGIC + struct.pack(">I", n_frames) + vid.encode()
+                rows.append(
+                    {
+                        "video_id": vid,
+                        "bytes": payload,
+                        "n_frames": n_frames,
+                        "fps": 4,
+                        "fmt": "vsyn",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("ts_s", T.DoubleType(), False),
+        T.StructField("frame_png", T.BinaryType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, stride: int = 4) -> DataFrame:
+    """Every stride-th frame of each video as a PNG binary row — the
+    frame-sampling stage of a video training pipeline. Only the 'vsyn'
+    stub container is decodable here; real codecs raise."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from vbpl_web_crawl_spark.sources import images as IMG
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "vsyn":
+                    raise NotImplementedError(
+                        f"video container {r.fmt!r}: real demux/decode needs "
+                        "ffmpeg — plug in here; the vsyn stub exercises the "
+                        "sampler plumbing"
+                    )
+                data = bytes(r.bytes)
+                assert data[:4] == _VID_MAGIC
+                (n_frames,) = struct.unpack(">I", data[4:8])
+                vid = data[8:].decode()
+                for f_no in range(0, n_frames, stride):
+                    px = IMG.synth_pixels(f"{vid}/frame{f_no}")
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_no": f_no,
+                            "ts_s": f_no / r.fps,
+                            "frame_png": IMG.png_encode(px),
+                            "mean_luma": float(px.astype("float64").mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
 
 
 def resize_to_thumbnail(corpus: DataFrame, size: int = 32) -> DataFrame:
