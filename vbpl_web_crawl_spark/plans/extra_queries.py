@@ -426,6 +426,47 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("streaming_first_seen_dedup", None)
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    crawl's unseen gate as a continuous stream — three micro-batches of
+    events rows, each hash emitted exactly once (streaming/stateful.py)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from vbpl_web_crawl_spark.sources.tables import load_table
+    from vbpl_web_crawl_spark.streaming.stateful import streaming_first_seen
+
+    events = load_table(spark, sf_dir, "events")
+    src_schema = T.StructType(
+        [
+            T.StructField("url_hash", T.LongType(), False),
+            T.StructField("url", T.StringType(), True),
+        ]
+    )
+    rows = events.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("url_hash"),
+        F.col("event_type").alias("url"),
+        F.pmod(F.xxhash64("event_id"), F.lit(100)).alias("slice"),
+    )
+    src = tempfile.mkdtemp(prefix="fs_gate_src_")
+    # three deterministic nested subsets -> overlapping micro-batches
+    for cut in (2, 4, 6):
+        rows.filter(F.col("slice") < cut).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = streaming_first_seen(
+        spark, src, src_schema, n_buckets=8, query_name=f"fs_gate_{os.getpid()}"
+    )
+    return out.select("bucket", "url_hash").orderBy("url_hash").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_first_seen"),
+        F.min("url_hash").alias("min_hash"),
+        F.max("url_hash").alias("max_hash"),
+    )
+
+
 @_register("audio_feature_stats", None)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality: WAV (real codec) corpus -> decode + feature
