@@ -753,6 +753,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_ivf_topk", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (operators/ann.py): deterministic k-means
+    lists, probe the 6 nearest of 16 centroids, exact cosine top-10
+    within the probed lists (rows-only: k-means is not SQL-expressible;
+    recall vs brute force asserted in tests/test_ann_ivf.py)."""
+    from vbpl_web_crawl_spark.operators.ann import (
+        assign_to_centroids,
+        ivf_search,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=16, iters=3)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assigned = assign_to_centroids(emb.filter(F.col("vec_id") != 0), cents)
+    return ivf_search(assigned, cents, qv, n_probe=6, topk=10)
+
+
 @_register(
     "ann_lsh_bucket_histogram",
     f"""
