@@ -103,10 +103,19 @@ def run_scaling() -> dict:
     probe = os.path.join(_REPO, "tools", "scaling_probe.py")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "24000"))
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    # wall budget for the whole scaling section: the first window at each
+    # level always runs; extra noise-filtering windows run only while
+    # there is budget left (heavy co-tenant steal can double probe walls)
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "540"))
     n_big = n_small * 4
     best: dict[int, dict] = {}
+    t0 = time.time()
     # more reps at the faster level: its runs are short enough to afford
-    for cpus, reps in ((n_small, 2), (n_big, 3), (n_small, 1), (n_big, 3)):
+    for i, (cpus, reps) in enumerate(
+        ((n_small, 2), (n_big, 3), (n_small, 1), (n_big, 3))
+    ):
+        if i >= 2 and time.time() - t0 > budget_s:
+            break
         out = subprocess.run(
             [sys.executable, probe, str(cpus), str(n), str(reps)],
             capture_output=True,

@@ -449,6 +449,7 @@ class CrawlEngine:
             start=total_visits,
             # scheduled <= pending; small rounds take the 1-window path
             approx_rows=manifest.get("pending"),
+            caches=caches,
         )
 
         # 3. FETCH
