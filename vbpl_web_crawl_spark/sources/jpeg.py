@@ -206,6 +206,158 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
+# ---------------------------------------------------------------------------
+# Vectorized entropy coder. The reference loop (_entropy_pack_slow below,
+# kept as the spec and for the equality test) costs ~100 ms/image in
+# Python; at crawl scale the encoder sits inside the fetch mapInPandas
+# hot path, so the whole (symbolize -> order -> bit-pack -> stuff)
+# pipeline runs as numpy array ops. Uniform-length Huffman makes
+# code == symbol-index, so symbolization is pure arithmetic.
+# ---------------------------------------------------------------------------
+
+_AC_INDEX = np.full(256, -1, dtype=np.int64)
+for _i, _s in enumerate(_AC_SYMS):
+    _AC_INDEX[_s] = _i
+_DC_LEN = 4
+_AC_LEN = 9
+
+
+def _category(v: np.ndarray) -> np.ndarray:
+    """bit_length(|v|) per element; 0 stays 0 (exact for |v| < 2^52)."""
+    a = np.abs(v)
+    return np.where(a == 0, 0, np.floor(np.log2(np.maximum(a, 1))).astype(np.int64) + 1)
+
+
+def _entropy_pack(plane_zz: list[np.ndarray]) -> bytes:
+    """Entropy-code interleaved MCUs (4:4:4 / single component) from
+    per-component (nblocks, 64) zigzag coefficient arrays. Byte-equal to
+    _entropy_pack_slow."""
+    blocks_l, comps_l, seqs_l, vals_l, nbits_l = [], [], [], [], []
+
+    def emit(block, comp, seq, val, nbits):
+        blocks_l.append(block)
+        comps_l.append(np.full(len(block), comp, dtype=np.int64))
+        seqs_l.append(seq)
+        vals_l.append(val)
+        nbits_l.append(nbits)
+
+    for ci, zz in enumerate(plane_zz):
+        nb = zz.shape[0]
+        # --- DC: differential, category + extra, merged (code|extra) ---
+        diff = np.diff(zz[:, 0], prepend=np.int64(0))
+        s = _category(diff)
+        extra = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
+        merged = (s << s) | extra  # uniform table: code value == category
+        emit(np.arange(nb, dtype=np.int64), ci, np.zeros(nb, dtype=np.int64),
+             merged, _DC_LEN + s)
+        # --- AC nonzeros ---
+        A = zz[:, 1:]
+        bi, kj = np.nonzero(A)
+        if len(bi):
+            v = A[bi, kj]
+            ki = kj.astype(np.int64) + 1
+            first = np.empty(len(bi), dtype=bool)
+            first[0] = True
+            first[1:] = bi[1:] != bi[:-1]
+            prev_ki = np.where(first, 0, np.concatenate([[0], ki[:-1]]))
+            runs = ki - prev_ki - 1
+            nzrl = runs >> 4
+            s = _category(v)
+            sym = ((runs & 15) << 4) | s
+            code = _AC_INDEX[sym]
+            extra = np.where(v >= 0, v, v + (np.int64(1) << s) - 1)
+            emit(bi.astype(np.int64), ci, ki, (code << s) | extra, _AC_LEN + s)
+            # --- ZRL events (16-zero runs), ordered before their symbol ---
+            total_z = int(nzrl.sum())
+            if total_z:
+                parent = np.repeat(np.arange(len(ki)), nzrl)
+                starts = np.cumsum(nzrl) - nzrl
+                z_rank = np.arange(total_z) - np.repeat(starts, nzrl)
+                zseq = prev_ki[parent] + 16 * (z_rank + 1)
+                zcode = np.full(total_z, _AC_INDEX[0xF0], dtype=np.int64)
+                emit(bi[parent].astype(np.int64), ci, zseq, zcode,
+                     np.full(total_z, _AC_LEN, dtype=np.int64))
+            last_ki = np.zeros(nb, dtype=np.int64)
+            np.maximum.at(last_ki, bi, ki)
+        else:
+            last_ki = np.zeros(nb, dtype=np.int64)
+        # --- EOB for blocks whose last nonzero is before k=63 ---
+        eob_b = np.nonzero(last_ki < 63)[0].astype(np.int64)
+        emit(eob_b, ci, np.full(len(eob_b), 64, dtype=np.int64),
+             np.full(len(eob_b), _AC_INDEX[0x00], dtype=np.int64),
+             np.full(len(eob_b), _AC_LEN, dtype=np.int64))
+
+    block = np.concatenate(blocks_l)
+    comp = np.concatenate(comps_l)
+    seq = np.concatenate(seqs_l)
+    vals = np.concatenate(vals_l).astype(np.uint64)
+    nbits = np.concatenate(nbits_l).astype(np.int64)
+    order = np.lexsort((seq, comp, block))  # MCU-interleaved event order
+    vals, nbits = vals[order], nbits[order]
+
+    # --- bit packing: each event <= 19 bits + 7 shift fits a 5-byte
+    # window; OR the windows into the buffer (bitwise_or.at handles the
+    # duplicate byte indices of adjacent events) ---
+    total_bits = int(nbits.sum())
+    total_bytes = (total_bits + 7) >> 3
+    offsets = np.cumsum(nbits) - nbits
+    byte_idx = (offsets >> 3).astype(np.int64)
+    shift = (offsets & 7).astype(np.uint64)
+    window = vals << (np.uint64(40) - shift - nbits.astype(np.uint64))
+    buf = np.zeros(total_bytes + 8, dtype=np.uint8)
+    for j in range(5):
+        np.bitwise_or.at(
+            buf, byte_idx + j, ((window >> np.uint64(8 * (4 - j))) & np.uint64(0xFF)).astype(np.uint8)
+        )
+    if total_bits & 7:
+        buf[total_bytes - 1] |= (1 << (8 - (total_bits & 7))) - 1  # 1-pad
+    out = buf[:total_bytes]
+    # --- byte stuffing: 0xFF -> 0xFF 0x00 ---
+    ff = np.nonzero(out == 0xFF)[0]
+    if len(ff):
+        out = np.insert(out, ff + 1, 0)
+    return out.tobytes()
+
+
+def _entropy_pack_slow(plane_zz: list[np.ndarray]) -> bytes:
+    """Reference scalar implementation (spec for _entropy_pack)."""
+    bw = _BitWriter()
+    n_blocks = plane_zz[0].shape[0]
+    ncomp = len(plane_zz)
+    prev_dc = [0] * ncomp
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            zz = plane_zz[ci][bi]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s, extra = _magnitude(diff)
+            code, ln = _DC_CODES[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(extra, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = _AC_CODES[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s, extra = _magnitude(v)
+                code, ln = _AC_CODES[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+                run = 0
+            if last < 63:
+                code, ln = _AC_CODES[0x00]  # EOB
+                bw.write(code, ln)
+    return bw.flush()
+
+
 def jpeg_encode(pixels: np.ndarray) -> bytes:
     """RGB8 HxWx3 or gray HxW uint8 (dims multiples of 8) -> JPEG."""
     gray = pixels.ndim == 2
@@ -252,40 +404,8 @@ def jpeg_encode(pixels: np.ndarray) -> bytes:
         # float division is per-element (no BLAS reduction): deterministic
         plane_zz.append(qz[:, _ZZ])
 
-    bw = _BitWriter()
-    n_blocks = plane_zz[0].shape[0]
-    prev_dc = [0] * ncomp
-    for bi in range(n_blocks):  # MCU order == block order at 4:4:4
-        for ci in range(ncomp):
-            zz = plane_zz[ci][bi]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            s, extra = _magnitude(diff)
-            code, ln = _DC_CODES[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(extra, s)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = _AC_CODES[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s, extra = _magnitude(v)
-                code, ln = _AC_CODES[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(extra, s)
-                run = 0
-            if last < 63:
-                code, ln = _AC_CODES[0x00]  # EOB
-                bw.write(code, ln)
-    out += bw.flush()
+    out += _entropy_pack(plane_zz)  # vectorized; byte-equal to the
+    # scalar reference (_entropy_pack_slow), asserted in tests
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -295,85 +415,81 @@ def jpeg_encode(pixels: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """Entropy-segment bit reader with byte-unstuffing; stops at markers
-    and reports restart markers to the caller."""
+def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Slice the entropy-coded stream starting at ``pos`` into restart
+    segments with byte stuffing removed — all vectorized, so the
+    per-symbol decode loop below never inspects markers."""
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1]
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = ~stuffed & ~rst
+    end = int(ff[real][0]) if real.any() else len(arr)
+    bounds = [0] + [int(p) for p in ff[rst & (ff < end)]] + [end]
+    segs = []
+    for i in range(len(bounds) - 1):
+        a = bounds[i] + (2 if i > 0 else 0)  # skip the RSTn marker itself
+        seg = arr[a : bounds[i + 1]]
+        pad = np.nonzero(seg[:-1] == 0xFF)[0] + 1  # the stuffed 0x00s
+        pad = pad[seg[pad] == 0x00]
+        segs.append(np.delete(seg, pad).tobytes() if len(pad) else seg.tobytes())
+    return segs
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+
+class _FastBits:
+    """Bit reader over an unstuffed entropy segment (zero-padded past
+    the end, which supplies the spec's 1-padding tolerance)."""
+
+    __slots__ = ("buf", "i", "acc", "nacc")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.i = 0
         self.acc = 0
-        self.nbits = 0
+        self.nacc = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                self.acc = (self.acc << 8) | 0
-                self.nbits += 8
-                continue
-            byte = d[self.pos]
-            if byte == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    break  # restart marker: caller consumes via sync()
-                else:
-                    break  # real marker (EOI/next segment): pad below
-                self.acc = (self.acc << 8) | byte
-                self.nbits += 8
-                continue
-            self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
-        while self.nbits <= 24:
-            self.acc = (self.acc << 8) | 0  # pad past segment end
-            self.nbits += 8
+    def _need(self, n: int) -> None:
+        buf, i = self.buf, self.i
+        while self.nacc < n:
+            b = buf[i] if i < len(buf) else 0
+            i += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nacc += 8
+        self.i = i
+
+    def peek16(self) -> int:
+        if self.nacc < 16:
+            self._need(16)
+        return (self.acc >> (self.nacc - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nacc -= n
 
     def bits(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        return (self.acc >> self.nbits) & ((1 << n) - 1)
-
-    def sync_restart(self) -> None:
-        """Consume an RSTn marker and realign to the byte boundary."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected restart marker")
+        if self.nacc < n:
+            self._need(n)
+        self.nacc -= n
+        return (self.acc >> self.nacc) & ((1 << n) - 1)
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """{(length, code): symbol} canonical table from DHT BITS/HUFFVAL."""
-    table = {}
+def _build_decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
+    """Peek-16 LUT from DHT BITS/HUFFVAL: lut[next16bits] = (sym << 5) |
+    code_length, -1 for invalid prefixes. One array index decodes any
+    code (arbitrary standard tables, not just this encoder's)."""
+    lut = np.full(1 << 16, -1, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (vals[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return table
-
-
-def _decode_symbol(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bits(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+    return lut
 
 
 def _extend(v: int, s: int) -> int:
@@ -468,28 +584,40 @@ def _decode_scan(data, pos, h, w, comps, qtables, restart_interval) -> np.ndarra
     n_blocks = bh * bw_
     ncomp = len(comps)
     coeff = np.zeros((ncomp, n_blocks, 64), dtype=np.int64)
-    br = _BitReader(data, pos)
+    segs = _split_entropy_segments(data, pos)
+    seg_i = 0
+    br = _FastBits(segs[0])
     prev_dc = [0] * ncomp
     for bi in range(n_blocks):
         if restart_interval and bi and bi % restart_interval == 0:
-            br.sync_restart()
+            seg_i += 1  # RSTn: fresh segment, byte-aligned, DC reset
+            br = _FastBits(segs[seg_i])
             prev_dc = [0] * ncomp
         for ci, c in enumerate(comps):
-            s = _decode_symbol(br, c["dc"])
+            dc_lut, ac_lut = c["dc"], c["ac"]
+            e = int(dc_lut[br.peek16()])
+            if e < 0:
+                raise ValueError("invalid Huffman code (DC)")
+            br.skip(e & 31)
+            s = e >> 5
             diff = _extend(br.bits(s), s) if s else 0
             prev_dc[ci] += diff
             zz = coeff[ci, bi]
             zz[0] = prev_dc[ci]
             k = 1
             while k <= 63:
-                sym = _decode_symbol(br, c["ac"])
+                e = int(ac_lut[br.peek16()])
+                if e < 0:
+                    raise ValueError("invalid Huffman code (AC)")
+                br.skip(e & 31)
+                sym = e >> 5
                 if sym == 0x00:  # EOB
                     break
                 if sym == 0xF0:  # ZRL
                     k += 16
                     continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
+                k += sym >> 4
+                size = sym & 0xF
                 zz[k] = _extend(br.bits(size), size)
                 k += 1
     # dequantize (zigzag domain), reorder, IDCT
