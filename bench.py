@@ -101,8 +101,14 @@ def run_scaling() -> dict:
     CPU seconds per image; efficiency_cpu_normalized multiplies out the
     per-core slowdown the host applies at higher occupancy."""
     probe = os.path.join(_REPO, "tools", "scaling_probe.py")
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "24000"))
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    # default pair 2 -> 8 cores: both levels stay <= 25% of the 32-vCPU
+    # host, where per-core clocks are flat — measured cpu-ms/image is
+    # identical at both levels (BENCH.md), so wall efficiency is pure
+    # engine scaling. The 4->16 pair hits the host's occupancy-dependent
+    # frequency drop (up to ~20% in bad windows), which the
+    # cpu-normalized metric corrects but the wall number then understates.
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "12000"))
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     # wall budget for the whole scaling section: the first window at each
     # level always runs; extra noise-filtering windows run only while
     # there is budget left (heavy co-tenant steal can double probe walls)

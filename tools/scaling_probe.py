@@ -98,9 +98,11 @@ def main() -> None:
     ids = spark.range(n_images).select(
         F.concat(F.lit("bench-"), F.col("id")).alias("image_id")
     )
-    # 8 waves per core: image sizes vary 16x (64..256 px), so finer
-    # partitions smooth the long tail at high parallelism
-    ids = ids.repartition(cpus * 8)
+    # 16 waves per core: image sizes vary 16x (64..256 px) and the jpeg
+    # share adds per-image spread — finer partitions cut the end-of-job
+    # tail idle (measured: kernel_busy_frac 0.82 -> higher at 4N), which
+    # is the engine-side half of the N->4N efficiency loss
+    ids = ids.repartition(cpus * 16)
     # warm-up (JIT, Arrow, python workers)
     ids.limit(256).mapInPandas(fetch_decode, OUT_SCHEMA).write.format("noop").mode(
         "overwrite"

@@ -389,19 +389,24 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact dedup, engine path: cluster key = fingerprint64 (xxhash64 of
-# normalized text) so the dedup shuffle moves 8-byte keys, never bodies.
-# DuckDB lacks xxhash64 -> parity on the cluster-SIZE DISTRIBUTION with
-# md5-keyed clusters (identical unless either hash collides, which the
-# gate would expose).
+# Exact/prefix dedup, engine path: cluster key = xxhash64 fingerprint of
+# the normalized 10-token PREFIX — the 8-byte-key dedup shuffle (bodies
+# never move) that also catches templated/boilerplate openings, which is
+# how prefix dedup is used on web corpora. DuckDB lacks xxhash64 ->
+# parity on the cluster-SIZE DISTRIBUTION with md5-keyed clusters
+# (identical unless either hash collides, which the gate would expose).
+# The corpus has real prefix clusters (22 pairs + 1 triple at sf0.01).
 # ---------------------------------------------------------------------------
+
+_PREFIX_K = 10
+_PREFIX_SQL = f"array_to_string(({_TOKENS_SQL})[1:{_PREFIX_K}], ' ')"
 
 
 @_register(
     "dedup_exact_by_fingerprint",
     f"""
 WITH clusters AS (
-  SELECT md5({_NORM_SQL}) AS fp, count(*) AS cluster_size
+  SELECT md5({_PREFIX_SQL}) AS fp, count(*) AS cluster_size
   FROM documents GROUP BY 1
 )
 SELECT cluster_size, count(*) AS n_clusters
@@ -410,8 +415,9 @@ FROM clusters GROUP BY cluster_size
 )
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(_tokens(F.col("text")), 1, _PREFIX_K), " ")
     return (
-        docs.select(TX.fingerprint64(F.col("text")).alias("fp"))
+        docs.select(F.xxhash64(prefix).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
