@@ -271,6 +271,16 @@ def test_compaction_and_gc_preserve_state(spark, tmp_path_factory):
     assert bases == [f"round={base_round}"]
 
 
+def test_per_host_concurrency_cap(crawl):
+    """T3: a host's fetches in one round spread over at most
+    per_host_slots salted partitions (the per-host concurrency bound)."""
+    eng, manifest, oracle = crawl
+    m = eng.final_state()["metrics"]
+    spread = m.groupBy("round", "host").count().collect()
+    for row in spread:
+        assert row["count"] <= eng.cfg.per_host_slots, (row.host, row["round"])
+
+
 def test_metrics_recorded(crawl):
     eng, manifest, oracle = crawl
     state = eng.final_state()

@@ -99,6 +99,38 @@ def test_canonicalize_url(spark):
     assert f(f("HTTP://X.Y:80//a//b#z")) == f("HTTP://X.Y:80//a//b#z")
 
 
+def test_canonicalize_port_strip_is_authority_anchored(spark):
+    """':80'/':443' are stripped only from the authority and only for
+    their own scheme — path segments and cross-scheme ports survive."""
+    f = lambda v: _one(spark, "string", v, S.canonicalize_url)
+    assert f("https://h/a:80/b") == "https://h/a:80/b"  # path, not port
+    assert f("https://h:443/x") == "https://h/x"
+    assert f("http://h:443/x") == "http://h:443/x"  # not http's default
+    assert f("https://h:80/x") == "https://h:80/x"  # not https's default
+    assert f("http://h:8080/x") == "http://h:8080/x"  # non-default kept
+    assert f("http://h:80") == "http://h/"
+
+
+def test_resolve_docmap_link(spark):
+    """J7 (vbpl.py:727-749): ItemID -> direct URL, title-only -> search,
+    non-docmap passes through."""
+    f = lambda v: _one(spark, "string", v, S.resolve_docmap_link)
+    assert (
+        f("https://vbpl.vn/docmap/phap_quy?ItemID=77&t=v77")
+        == "https://vbpl.vn/doc/phap_quy/77"
+    )
+    assert (
+        f("https://vbpl.vn/docmap/hop_nhat?t=v123")
+        == "https://vbpl.vn/search/hop_nhat?q=v123"
+    )
+    assert f("https://vbpl.vn/doc/phap_quy/5") == "https://vbpl.vn/doc/phap_quy/5"
+
+
+def test_literal_replace_is_not_regex(spark):
+    f = lambda v: _one(spark, "string", v, lambda c: S.literal_replace(c, "a.b", "X"))
+    assert f("a.b azb") == "X azb"  # '.' is literal, 'azb' untouched
+
+
 def test_url_hash_stable_across_variants(spark):
     df = spark.createDataFrame(
         [("https://vbpl.vn/doc/1",), ("HTTPS://VBPL.VN/doc/1#x",)], "u string"
