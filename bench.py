@@ -48,6 +48,10 @@ def run_queries(spark) -> dict[str, float]:
     from vbpl_web_crawl_spark.plans.queries import get_queries
 
     qs = get_queries()
+    # warm the session (JIT, codegen, parquet reader init) on a tiny
+    # table so the first timed query measures the query, not JVM startup
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

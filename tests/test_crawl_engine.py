@@ -271,6 +271,28 @@ def test_compaction_and_gc_preserve_state(spark, tmp_path_factory):
     assert bases == [f"round={base_round}"]
 
 
+def test_resume_across_compaction_boundary(spark, tmp_path_factory):
+    """Kill right after a compaction round (seen_base written, deltas
+    GC'd), resume, and compare the full final state to an uninterrupted
+    run — the riskiest path of the delta/compaction checkpoint model."""
+    cfg = CrawlConfig(**{**CFG.__dict__, "seen_compact_every": 2, "keep_live_rounds": 1})
+    full_ckpt = str(tmp_path_factory.mktemp("ckpt_full"))
+    full = CrawlEngine(spark, cfg, full_ckpt)
+    m_full = full.run(resume=False)
+
+    part_ckpt = str(tmp_path_factory.mktemp("ckpt_part"))
+    partial_cfg = CrawlConfig(**{**cfg.__dict__, "max_rounds": 2})  # stop AT compaction
+    CrawlEngine(spark, partial_cfg, part_ckpt).run(resume=False)
+    resumed = CrawlEngine(spark, cfg, part_ckpt)
+    assert resumed.read_manifest()["seen_base_round"] == 2
+    m_res = resumed.run(resume=True)
+    assert m_res["round"] == m_full["round"]
+    a, b = full.final_state(), resumed.final_state()
+    for tbl in ("visit_log", "enqueue_log", "documents"):
+        assert sorted(map(str, a[tbl].collect())) == sorted(map(str, b[tbl].collect())), tbl
+    assert a["seen_urls"].count() == b["seen_urls"].count()
+
+
 def test_per_host_concurrency_cap(crawl):
     """T3: a host's fetches in one round spread over at most
     per_host_slots salted partitions (the per-host concurrency bound)."""

@@ -332,12 +332,15 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
         .distinct()
     )
-    # integer signature: min over shingles of xxhash64(shingle, seed_i)
+    # integer signature: min over shingles of xxhash64(shingle, seed_i);
+    # the shingle-set size rides along in the same aggregation so the
+    # verify step below needs no second shingle pass for sizes
     sig = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(_MINHASH_K_INT)
-        ]
+        ],
     )
     # band key: hash the band's two signature longs back to one long —
     # the band join shuffles (long, long) keys only
@@ -366,7 +369,7 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verify, restricted to candidates (bucket-bounded):
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
