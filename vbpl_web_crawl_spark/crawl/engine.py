@@ -55,7 +55,6 @@ from vbpl_web_crawl_spark.crawl import politeness as P
 from vbpl_web_crawl_spark.functions.scalars import (
     canonicalize_url,
     resolve_docmap_link,
-    url_hash,
     url_host,
 )
 from vbpl_web_crawl_spark.operators import seen as SEEN

@@ -15,7 +15,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vbpl_web_crawl_spark.functions import text as TX

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vbpl_web_crawl_spark.functions import scalars as S
-from vbpl_web_crawl_spark.functions import text as TX
 from vbpl_web_crawl_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
