@@ -546,6 +546,96 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS: Hamming distance <= 3 over a 32-bit simhash
+# (wider than the 16-bit fingerprint gate above: 16 bits collide
+# massively on a shared-vocabulary corpus — tens of thousands of
+# accidental pairs — while 32 bits leave only genuinely similar docs).
+# Blocking by pigeonhole: split the hash into 4 byte bands — a pair
+# within distance 3 differs in at most 3 bands, so it shares at least
+# one band verbatim. Candidates = band equi-join (never all-pairs),
+# verify = exact popcount(xor) <= 3. Same shape at 64 bits / 10^9 docs.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS32 = 32
+_SIMHASH_HAM_T = 3
+_SIMHASH_BANDS_N = 4  # 8-bit bands of the 32-bit hash
+
+
+@_register(
+    "dedup_simhash_hamming_pairs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN ({_TOK_INT_SQL} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS t{j}" for j in range(_SIMHASH_BITS32))}
+  FROM toks GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         {' + '.join(f"(CASE WHEN t{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(_SIMHASH_BITS32))} AS simhash
+  FROM bits
+),
+bands AS (
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 8)) & 255 AS band_val
+  FROM sh, (SELECT unnest([0,1,2,3]) AS band_id)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {_SIMHASH_HAM_T}
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
+    tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tallies = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(tok_int, j).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"t{j}")
+            for j in range(_SIMHASH_BITS32)
+        ]
+    )
+    simhash = None
+    for j in range(_SIMHASH_BITS32):
+        term = F.when(F.col(f"t{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    sh = tallies.select("doc_id", simhash.alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS_N)])
+        ).alias("band_id"),
+    ).withColumn(
+        # shiftright() takes a literal bit count, so the per-band shift
+        # is a SQL expression (still pure Catalyst)
+        "band_val",
+        F.expr("(simhash >> (band_id * 8)) & 255"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= _SIMHASH_HAM_T)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — brute-force cosine top-k (the correctness baseline).
 # Query vector = embedding of vec_id 0, broadcast to every partition; the
 # scan + dot product is embarrassingly parallel; top-k is
