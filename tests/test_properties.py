@@ -91,6 +91,27 @@ def test_embedding_lsh_recall_floor(spark):
         assert recall >= floor, (n_sim, planes, tables, recall)
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([8, 16, 24]),
+    st.sampled_from([8, 16]),
+)
+def test_jpeg_roundtrip_any_image(seed, h, w):
+    """Property: ANY uint8 image (dims multiple of 8) roundtrips through
+    the baseline JPEG codec at >= 40 dB and encodes bit-deterministically."""
+    from vbpl_web_crawl_spark.sources import images as IMG
+    from vbpl_web_crawl_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+    data = J.jpeg_encode(px)
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape
+    assert IMG.psnr(px, dec) >= 40.0
+    assert J.jpeg_encode(px) == data
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.text(min_size=1, max_size=40))
 def test_image_record_invariants_any_id(image_id):

@@ -34,6 +34,54 @@ ROBOTS_SCHEMA = T.StructType(
 DEFAULT_CRAWL_DELAY = 1.0
 
 
+def parse_robots_txt(text: str, agent: str = "*") -> dict:
+    """Parse a robots.txt body into the engine's rule dict
+    ({"crawl_delay": float, "disallow": (prefixes,)}). Honors the
+    longest-matching User-agent group (exact agent wins over '*'),
+    Disallow path prefixes, and Crawl-delay; empty Disallow lines (allow
+    all) and comments are handled per the de-facto standard."""
+    groups: dict[str, dict] = {}
+    current: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            ua = val.lower()
+            groups.setdefault(ua, {"crawl_delay": None, "disallow": []})
+            # consecutive User-agent lines share the following rules
+            if current and current[-1] != "__rules_seen__":
+                current.append(ua)
+            else:
+                current = [ua]
+        elif key in ("disallow", "crawl-delay"):
+            if not current:
+                continue
+            if current[-1] != "__rules_seen__":
+                current = [*current, "__rules_seen__"]
+            for ua in current[:-1]:
+                if key == "disallow":
+                    if val:
+                        groups[ua]["disallow"].append(val)
+                else:
+                    try:
+                        groups[ua]["crawl_delay"] = float(val)
+                    except ValueError:
+                        pass
+    chosen = groups.get(agent.lower()) or groups.get("*") or {
+        "crawl_delay": None,
+        "disallow": [],
+    }
+    return {
+        "crawl_delay": chosen["crawl_delay"]
+        if chosen["crawl_delay"] is not None
+        else DEFAULT_CRAWL_DELAY,
+        "disallow": tuple(chosen["disallow"]),
+    }
+
+
 def robots_df(spark: SparkSession, robots: dict[str, dict]) -> DataFrame:
     rows = [
         (host, float(r.get("crawl_delay", DEFAULT_CRAWL_DELAY)), list(r.get("disallow", ())))
