@@ -414,9 +414,11 @@ class CrawlEngine:
         # shuffle, so the dominant host (vbpl.vn) never funnels its whole
         # frontier through one task — only <= k rows per upstream
         # partition reach the final rank.
-        budgets = self.spark.createDataFrame(
-            [(h, b) for h, b in self._budget_by_host.items()], "host string, budget int"
-        )
+        # budgets derive from the robots TABLE (distributed expression;
+        # robots is per-host metadata — broadcast-scale at any corpus
+        # size). max_budget is config-derived: one scalar for the
+        # WindowGroupLimit literal, never a data-dependent aggregate.
+        budgets = P.budgets_df(self.robots, cfg.round_window_s)
         max_budget = max(self._budget_by_host.values(), default=1)
         prio = Window.partitionBy("host").orderBy("depth", "doc_type_rank", "discovery_seq")
         ranked = (

@@ -94,10 +94,19 @@ def host_budget(crawl_delay: float, round_window_s: float) -> int:
     return max(1, int(round_window_s // max(crawl_delay, 1e-9)))
 
 
-def budget_col(round_window_s: float):
-    """Column expr: per-row budget from the joined crawl_delay."""
-    delay = F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
-    return F.greatest(F.floor(F.lit(round_window_s) / delay), F.lit(1)).cast("int")
+def budgets_df(robots: DataFrame, round_window_s: float) -> DataFrame:
+    """(host, budget) from the robots table — the distributed form of
+    host_budget (hosts NOT in the table get budget 1 via the engine's
+    coalesce, the conservative-politeness default the oracle shares)."""
+    return robots.select(
+        "host",
+        F.greatest(
+            F.floor(F.lit(round_window_s) / F.greatest(F.col("crawl_delay"), F.lit(1e-9))),
+            F.lit(1),
+        )
+        .cast("int")
+        .alias("budget"),
+    )
 
 
 def is_disallowed(url_col, disallow_col):
