@@ -34,6 +34,14 @@ def test_orphan_delta_excluded_and_resume_clean(spark, tmp_path):
     assert eng.read_log("visit_log", committed).count() == n_visits
     assert eng.final_state()["visit_log"].count() == n_visits
 
+    # same isolation for the seen set's delta stream: an uncommitted
+    # seen_adds delta must not leak into the seen set
+    n_seen = eng.final_state()["seen_urls"].count()
+    spark.createDataFrame(
+        [(999_999_999, 3)], "url_hash long, partition_id int"
+    ).write.parquet(eng._log_dir("seen_adds", committed + 7))
+    assert eng.final_state()["seen_urls"].count() == n_seen
+
     # resume from the same checkpoint: frontier is drained, nothing runs,
     # state unchanged
     m2 = CrawlEngine(spark, CFG, ckpt).run(resume=True)
