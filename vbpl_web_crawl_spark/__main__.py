@@ -19,16 +19,7 @@ import argparse
 import json
 
 
-def main() -> None:
-    p = argparse.ArgumentParser(description="run the crawl engine")
-    p.add_argument("--ckpt", required=True, help="checkpoint directory")
-    p.add_argument("--pages", type=int, default=4)
-    p.add_argument("--docs-per-page", type=int, default=40)
-    p.add_argument("--window", type=float, default=600.0, help="politeness round window (s)")
-    p.add_argument("--max-rounds", type=int, default=1000)
-    p.add_argument("--no-resume", action="store_true")
-    args = p.parse_args()
-
+def _cmd_crawl(args) -> None:
     from pyspark.sql import SparkSession
 
     from vbpl_web_crawl_spark.crawl.engine import CrawlConfig, CrawlEngine
@@ -43,6 +34,61 @@ def main() -> None:
     eng = CrawlEngine(spark, cfg, args.ckpt)
     manifest = eng.run(resume=not args.no_resume)
     print(json.dumps(manifest))
+
+
+def _cmd_query(args) -> None:
+    from pyspark.sql import SparkSession
+
+    from vbpl_web_crawl_spark.plans.queries import get_queries
+
+    qs = get_queries()
+    if args.list or not args.name:
+        for name in sorted(qs):
+            print(name)
+        return
+    if args.name not in qs:
+        raise SystemExit(f"unknown query {args.name!r} (use --list)")
+    spark = SparkSession.builder.appName(f"vbpl_query_{args.name}").getOrCreate()
+    df = qs[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        df.show(args.show, truncate=False)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="vbpl_web_crawl_spark CLI")
+    sub = p.add_subparsers(dest="cmd")
+
+    c = sub.add_parser("crawl", help="run the crawl engine")
+    c.add_argument("--ckpt", required=True, help="checkpoint directory")
+    c.add_argument("--pages", type=int, default=4)
+    c.add_argument("--docs-per-page", type=int, default=40)
+    c.add_argument("--window", type=float, default=600.0, help="politeness round window (s)")
+    c.add_argument("--max-rounds", type=int, default=1000)
+    c.add_argument("--no-resume", action="store_true")
+    c.set_defaults(fn=_cmd_crawl)
+
+    q = sub.add_parser("query", help="run a registered query by name")
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", help="write result parquet here instead of showing")
+    q.add_argument("--show", type=int, default=20)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=_cmd_query)
+
+    # backward compatibility: bare `--ckpt ...` args mean `crawl`
+    import sys as _sys
+
+    argv = _sys.argv[1:]
+    if argv and argv[0].startswith("--"):
+        argv = ["crawl", *argv]
+    args = p.parse_args(argv)
+    if not getattr(args, "fn", None):
+        p.print_help()
+        raise SystemExit(2)
+    args.fn(args)
 
 
 if __name__ == "__main__":
