@@ -852,6 +852,77 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batched ANN serving shape: top-k per EACH query vector in one job —
+# broadcast the (small) query set, score all (query, vector) pairs, and
+# take rank <= k per query with a window. At 100 TB the broadcast joins
+# replace per-query scans; the rank window shuffles only (query_id,
+# score) pairs.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_batch_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(c, 4) AS cosine
+FROM ranked WHERE rn <= 3
+""",
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", F.round("c", 4).alias("cosine"))
+    )
+
+
 @_register("ann_ivf_topk", None)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path (operators/ann.py): deterministic k-means
