@@ -271,6 +271,64 @@ def test_compaction_and_gc_preserve_state(spark, tmp_path_factory):
     assert bases == [f"round={base_round}"]
 
 
+def test_fresh_run_over_stale_checkpoint_wipes_old_state(spark, tmp_path_factory):
+    """run(resume=False) over a dir holding a FINISHED crawl's
+    checkpoint must not let the old multi-round manifests outrank the
+    fresh run: final_state() and a later resume must see the new crawl
+    only (regression: stale manifest-<N>.json used to win the
+    highest-round read)."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_stale"))
+    first = CrawlEngine(spark, CFG, ckpt)
+    m_first = first.run(resume=False)
+    assert m_first["round"] >= 2
+
+    # fresh run, same dir, smaller site -> different (smaller) crawl
+    small_cfg = CrawlConfig(
+        **{
+            **CFG.__dict__,
+            "site": SITE.SiteConfig(
+                n_pages=1,
+                docs_per_page=3,
+                related_per_doc=1,
+                max_attachments=1,
+                fault_every=7,
+                private_every=5,
+            ),
+        }
+    )
+    fresh = CrawlEngine(spark, small_cfg, ckpt)
+    m_fresh = fresh.run(resume=False)
+    oracle = run_oracle(
+        small_cfg.site, small_cfg.robots, small_cfg.round_window_s, small_cfg.max_retries
+    )
+    # the manifest read back is the fresh run's, not the old crawl's
+    assert fresh.read_manifest()["round"] == m_fresh["round"]
+    state = fresh.final_state()
+    order = [r.url for r in state["visit_log"].orderBy("visit_seq").select("url").collect()]
+    assert order == oracle.visit_order
+    assert {r.url for r in state["enqueue_log"].select("url").collect()} == oracle.seen
+
+
+def test_gc_tolerates_orphan_tmp_dirs(spark, tmp_path_factory):
+    """A leftover 'round=K.tmp' dir (crash mid live-write) must be
+    skipped by GC's name parsing, not int()-ed into a crash of every
+    later commit."""
+    import os
+
+    cfg = CrawlConfig(**{**CFG.__dict__, "seen_compact_every": 2, "keep_live_rounds": 1})
+    ckpt = str(tmp_path_factory.mktemp("ckpt_tmporphan"))
+    partial_cfg = CrawlConfig(**{**cfg.__dict__, "max_rounds": 1})
+    CrawlEngine(spark, partial_cfg, ckpt).run(resume=False)
+    # simulate a crashed live-write attempt of a later round
+    os.makedirs(os.path.join(ckpt, "state", "round=7.tmp"), exist_ok=True)
+    resumed = CrawlEngine(spark, cfg, ckpt)
+    m = resumed.run(resume=True)  # GC runs every commit; must not raise
+    oracle = run_oracle(cfg.site, cfg.robots, cfg.round_window_s, cfg.max_retries)
+    state = resumed.final_state()
+    assert m["round"] >= 2
+    assert {r.url for r in state["enqueue_log"].select("url").collect()} == oracle.seen
+
+
 def test_resume_across_compaction_boundary(spark, tmp_path_factory):
     """Kill right after a compaction round (seen_base written, deltas
     GC'd), resume, and compare the full final state to an uninterrupted

@@ -126,6 +126,36 @@ def test_resolve_docmap_link(spark):
     assert f("https://vbpl.vn/doc/phap_quy/5") == "https://vbpl.vn/doc/phap_quy/5"
 
 
+def test_resolve_docmap_engine_oracle_parity(spark):
+    """Engine (Catalyst) and oracle (pure-Python) docmap resolvers agree
+    on every shape: canonical order, reversed params, ItemID-only,
+    t-only, neither (falls through unchanged, never NULL), non-docmap,
+    and /docmap/ not in first path position."""
+    from vbpl_web_crawl_spark.crawl.oracle import resolve_docmap
+
+    urls = [
+        "https://vbpl.vn/docmap/phap_quy?ItemID=77&t=v77",
+        "https://vbpl.vn/docmap/phap_quy?t=v77&ItemID=77",  # reversed
+        "https://vbpl.vn/docmap/phap_quy?ItemID=9",  # ItemID only
+        "https://vbpl.vn/docmap/hop_nhat?t=v123",  # title only
+        "https://vbpl.vn/docmap/hop_nhat",  # neither -> unchanged
+        "https://vbpl.vn/docmap/hop_nhat?x=1",  # junk param -> unchanged
+        "https://vbpl.vn/doc/phap_quy/5",  # non-docmap
+        "https://vbpl.vn/a/docmap/b?ItemID=3",  # docmap not 1st segment
+    ]
+    engine = [
+        r.o
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(S.resolve_docmap_link(F.col("u")).alias("o"))
+        .collect()
+    ]
+    oracle = [resolve_docmap(u) for u in urls]
+    assert engine == oracle
+    assert None not in engine  # a bad docmap href is kept, not dropped
+    assert engine[0] == engine[1] == "https://vbpl.vn/doc/phap_quy/77"
+    assert engine[4] == urls[4] and engine[5] == urls[5] and engine[7] == urls[7]
+
+
 def test_literal_replace_is_not_regex(spark):
     f = lambda v: _one(spark, "string", v, lambda c: S.literal_replace(c, "a.b", "X"))
     assert f("a.b azb") == "X azb"  # '.' is literal, 'azb' untouched

@@ -41,6 +41,7 @@ tables and step 6 is a single multi-table snapshot commit.
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -222,14 +223,19 @@ class CrawlEngine:
         seen_adds are the permanent record and are never touched."""
         keep_from = rnd - max(self.cfg.keep_live_rounds, 1)
         state_dir = os.path.join(self.ckpt_dir, "state")
+        # full-match the round suffix: a leftover "round=K.tmp" from a
+        # crashed live-write must be skipped, not int()-ed (it would
+        # crash every subsequent commit's GC)
         for name in fsio.listdir(self.spark, state_dir):
-            if name.startswith("round="):
-                r = int(name.split("=", 1)[1])
+            m = re.fullmatch(r"round=(\d+)", name)
+            if m:
+                r = int(m.group(1))
                 if r < keep_from and r != base_round:
                     fsio.delete(self.spark, os.path.join(state_dir, name))
         adds_dir = os.path.join(self.ckpt_dir, "log", "seen_adds")
         for name in fsio.listdir(self.spark, adds_dir):
-            if name.startswith("r=") and int(name.split("=", 1)[1]) <= base_round:
+            m = re.fullmatch(r"r=(\d+)", name)
+            if m and int(m.group(1)) <= base_round:
                 fsio.delete(self.spark, os.path.join(adds_dir, name))
 
     def _read_live(self, rnd: int) -> dict[str, DataFrame]:
@@ -360,6 +366,16 @@ class CrawlEngine:
         """Run rounds until the frontier drains; returns final manifest."""
         manifest = self.read_manifest() if resume else None
         if manifest is None:
+            # Fresh run: wipe any prior checkpoint under this dir. With
+            # resume=False over an existing checkpoint, stale
+            # manifest-<N>.json files would otherwise outrank the new
+            # run's round-0 manifest (read_manifest picks the highest
+            # round) and final_state()/resume would silently read the
+            # OLD crawl's state. A resume=True seed path (no committed
+            # manifest) can only hold garbage from a crash before the
+            # first commit, so wiping is safe there too.
+            if fsio.exists(self.spark, self.ckpt_dir):
+                fsio.delete(self.spark, self.ckpt_dir)
             frontier = self.seed_frontier()
             empty_seen = self.spark.createDataFrame([], "url_hash long, partition_id int")
             _, sketches = SEEN.add_to_seen(

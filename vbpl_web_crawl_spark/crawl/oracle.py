@@ -21,21 +21,26 @@ from dataclasses import dataclass, field
 from vbpl_web_crawl_spark.crawl import politeness as P
 from vbpl_web_crawl_spark.sources import synth_site as SITE
 
-_DOCMAP_RE = re.compile(
-    r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)/docmap/([^/?#]+)\?(?:ItemID=(\d+)&)?t=([^&#]+)"
-)
+_DOCMAP_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)/docmap/([^/?#]+)")
+_DOCMAP_ITEM_RE = re.compile(r"[?&]ItemID=(\d+)")
+_DOCMAP_TITLE_RE = re.compile(r"[?&]t=([^&#]+)")
 
 
 def resolve_docmap(url: str) -> str:
-    """Pure-Python mirror of functions.scalars.resolve_docmap_link (J7):
-    ItemID -> direct doc URL, title-only -> search URL."""
+    """Pure-Python mirror of functions.scalars.resolve_docmap_link (J7),
+    same semantics in the same order: ItemID (any param position) ->
+    direct doc URL; else t -> search URL; else the URL unchanged."""
     m = _DOCMAP_RE.match(url)
     if not m:
         return url
-    scheme_host, doc_class, item_id, title = m.groups()
-    if item_id:
-        return f"{scheme_host}/doc/{doc_class}/{item_id}"
-    return f"{scheme_host}/search/{doc_class}?q={title}"
+    scheme_host, doc_class = m.groups()
+    mi = _DOCMAP_ITEM_RE.search(url)
+    if mi:
+        return f"{scheme_host}/doc/{doc_class}/{mi.group(1)}"
+    mt = _DOCMAP_TITLE_RE.search(url)
+    if mt:
+        return f"{scheme_host}/search/{doc_class}?q={mt.group(1)}"
+    return url
 
 
 @dataclass

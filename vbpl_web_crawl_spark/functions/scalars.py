@@ -158,14 +158,19 @@ def strip_watermark(text: Column, watermark: str) -> Column:
 
 
 def resolve_docmap_link(url: Column) -> Column:
-    is_docmap = url.rlike(r"://[^/]+/docmap/")
+    """Semantics (mirrored exactly by crawl.oracle.resolve_docmap):
+    /docmap/ must be the first path segment after an explicit scheme;
+    ItemID and t are accepted in ANY query-param order; ItemID wins over
+    t; a docmap href carrying neither parses through unchanged (the
+    original URL is crawled as-is rather than dropped as NULL)."""
+    is_docmap = url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+/docmap/")
     scheme_host = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
-    doc_class = F.regexp_extract(url, r"/docmap/([^/?#]+)", 1)
+    doc_class = F.regexp_extract(url, r"://[^/?#]+/docmap/([^/?#]+)", 1)
     item_id = F.nullif(F.regexp_extract(url, r"[?&]ItemID=(\d+)", 1), F.lit(""))
     title = F.nullif(F.regexp_extract(url, r"[?&]t=([^&#]+)", 1), F.lit(""))
     direct = F.concat(scheme_host, F.lit("/doc/"), doc_class, F.lit("/"), item_id)
     search = F.concat(scheme_host, F.lit("/search/"), doc_class, F.lit("?q="), title)
-    return F.when(~is_docmap, url).otherwise(F.coalesce(direct, search))
+    return F.when(~is_docmap, url).otherwise(F.coalesce(direct, search, url))
 
 
 # --- F19: datetime -> unix ts (app/model/base.py:27-35) ---

@@ -45,8 +45,16 @@ def export_zip_archives(
 ) -> DataFrame:
     """Pack (key, bytes) rows into ``n_buckets`` zip archives under
     ``out_dir``; returns the manifest. Work and I/O happen on the
-    executors — the driver never sees file contents."""
-    os.makedirs(out_dir, exist_ok=True)
+    executors — the driver never sees file contents.
+
+    ``out_dir`` must be a filesystem visible to the executors (shared
+    mount, NFS, or local mode); on a multi-node cluster point it at a
+    shared path, or swap the two ``open``-level calls for the Hadoop FS
+    layer (``crawl/fsio``) to target HDFS/S3. Each task writes to a
+    per-attempt temp name and ``os.replace``s it into place, so a task
+    retry or speculative duplicate cannot leave a half-written archive
+    at the final path — last completed attempt wins with identical
+    bytes (membership and order are deterministic)."""
     bucketed = docs.select(
         F.col(key_col).alias("k"),
         F.col(bytes_col).alias("b"),
@@ -54,6 +62,11 @@ def export_zip_archives(
     ).repartition(n_buckets, "bucket")
 
     def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        os.makedirs(out_dir, exist_ok=True)  # executor-side, not driver
         rows: list[tuple[str, bytes, int]] = []
         for pdf in it:
             for r in pdf.itertuples(index=False):
@@ -67,14 +80,16 @@ def export_zip_archives(
         out = []
         for bk, files in sorted(by_bucket.items()):
             path = os.path.join(out_dir, f"archive-{bk:05d}.zip")
+            tmp = f"{path}.attempt-{attempt}.tmp"
             files.sort(key=lambda t: t[0])  # deterministic member order
             raw = 0
-            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
                 for k, b in files:
                     # fixed timestamp: archives must be byte-stable
                     info = zipfile.ZipInfo(f"{k}.{ext}", date_time=(1980, 1, 1, 0, 0, 0))
                     zf.writestr(info, b)
                     raw += len(b)
+            os.replace(tmp, path)  # atomic publish; retries re-replace
             out.append(
                 {
                     "archive": path,
