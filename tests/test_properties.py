@@ -36,6 +36,52 @@ def test_cuckoo_add_delete_roundtrip(keys):
     assert cf.contains(arr).all()
 
 
+def test_hot_shingle_df_cap_bounds_candidates(spark):
+    """Skew property (VERDICT r2 #2): inject an identical boilerplate
+    opening into 30% of docs; the DF-capped shingle stage keeps the
+    inverted-index self-join at O(docs*K) candidate rows, where the
+    uncapped join is quadratic in the boilerplate cohort."""
+    from pyspark.sql import functions as F
+
+    from vbpl_web_crawl_spark.plans.pipeline_queries import NGRAM_DF_CAP, capped_shingles
+
+    n, boiler_frac = 200, 0.3
+    boiler = "subject to the terms and conditions of this agreement the parties"
+    rows = [
+        (
+            i,
+            (boiler + f" clause {i} body text item {i * 7 % 13}")
+            if i < int(n * boiler_frac)
+            else f"unique document {i} discusses topic {i * 31 % 97} in detail {i}",
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def candidate_rows(sh):
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        return a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b")).count()
+
+    sh_uncapped = docs.select(
+        "doc_id", F.explode(F.expr("transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)), i -> array_join(slice(split(lower(text), ' '), i, 3), ' '))")).alias("shingle")
+    ).distinct()
+    capped = capped_shingles(docs)
+    n_capped_rows = capped.count()
+    uncapped_cand = candidate_rows(sh_uncapped)
+    capped_cand = candidate_rows(capped)
+    # analytic bound: sum_s d(d-1)/2 <= rows * (cap-1)/2
+    assert capped_cand <= n_capped_rows * (NGRAM_DF_CAP - 1) / 2
+    # the boilerplate cohort alone is ~ (0.3n)^2/2 * shared shingles;
+    # capping must collapse that blowup by at least an order of magnitude
+    assert capped_cand * 10 <= uncapped_cand
+    # no hot shingle survives the cap
+    max_df = (
+        capped.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert max_df <= NGRAM_DF_CAP
+
+
 def test_embedding_lsh_recall_floor(spark):
     """n->(planes, tables) rule (plans/pipeline_queries.py:lsh_params):
     as the corpus grows and the plane count with it, the multi-table

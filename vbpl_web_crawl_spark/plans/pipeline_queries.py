@@ -158,7 +158,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup: 3-word shingles, inverted-index self-join,
 # |A∩B| / |A∪B|. Blocking = the shingle join itself (never all-pairs).
+#
+# Hot-shingle skew cap: a boilerplate shingle present in d documents
+# contributes d·(d-1)/2 rows to the self-join — one viral 3-gram in 10^6
+# docs is 5·10^11 candidate rows. Shingles with document frequency >
+# NGRAM_DF_CAP are dropped BEFORE the join (classic stop-shingle
+# removal), bounding total candidate rows at
+# Σ_shingle d·(d-1)/2 ≤ |shingle rows| · (cap-1)/2 = O(docs · K).
+# The Jaccard is then computed over the capped shingle sets on BOTH
+# engines (sizes too), so oracle parity is exact by construction.
 # ---------------------------------------------------------------------------
+
+NGRAM_DF_CAP = 5
 
 _SHINGLES_SQL = f"""
   SELECT doc_id, shingle FROM (
@@ -169,11 +180,34 @@ _SHINGLES_SQL = f"""
   ) GROUP BY doc_id, shingle
 """
 
+_CAPPED_SHINGLES_SQL = f"""
+  SELECT s.doc_id, s.shingle
+  FROM ({_SHINGLES_SQL}) s
+  JOIN (SELECT shingle, count(*) AS df FROM ({_SHINGLES_SQL}) GROUP BY shingle) d
+    ON s.shingle = d.shingle
+  WHERE d.df <= {NGRAM_DF_CAP}
+"""
+
+
+def capped_shingles(docs: DataFrame, k: int = 3, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """(doc_id, shingle) rows with hot shingles (document frequency >
+    df_cap) removed — the skew-bounded input to any shingle self-join."""
+    sh = docs.select(
+        "doc_id", F.explode(TX.word_shingles(F.col("text"), k)).alias("shingle")
+    ).distinct()
+    ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    return sh.join(ok, "shingle").select("doc_id", "shingle")
+
 
 @_register(
     "dedup_ngram_jaccard_pairs",
     f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh AS ({_CAPPED_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -191,10 +225,7 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
-        .distinct()
-    )
+    sh = capped_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
