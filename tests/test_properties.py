@@ -82,6 +82,82 @@ def test_hot_shingle_df_cap_bounds_candidates(spark):
     assert max_df <= NGRAM_DF_CAP
 
 
+def test_simhash_band_plan_scales_with_n():
+    """The block count grows with corpus size so the per-band bucket
+    stays near the target: key width always covers log2(n/target),
+    tables = C(b, radius), widths tile the hash exactly."""
+    import math
+    from math import comb
+
+    from vbpl_web_crawl_spark.plans.pipeline_queries import simhash_band_plan
+
+    radius, bits = 3, 60
+    prev_b = 0
+    for n in (1_000, 1_000_000, 10**9, 10**12):
+        b, widths, offsets, combos = simhash_band_plan(n, radius=radius, bits=bits)
+        assert b >= radius + 1
+        assert b >= prev_b  # monotone in n
+        prev_b = b
+        assert sum(widths) == bits and offsets[0] == 0
+        key_bits = bits * (b - radius) / b
+        need = math.log2(n / 64)
+        assert key_bits >= need or bits // (b + 1) < 2
+        assert len(combos) == comb(b, radius)
+        assert all(len(c) == b - radius for c in combos)
+    # concrete anchor from the design comment: n=1e9 -> b=5, 10 tables
+    b, _, _, combos = simhash_band_plan(10**9)
+    assert b == 5 and len(combos) == 10
+
+
+def test_simhash_hamming_pairs_complete_at_any_plan(spark):
+    """Pigeonhole completeness: for EVERY band plan (including b=5/b=6
+    forced beyond the gate's b=4), the blocked pair set equals the
+    brute-force Hamming<=radius pair set — blocking affects cost only."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from vbpl_web_crawl_spark.plans.pipeline_queries import (
+        simhash_band_plan,
+        simhash_hamming_pairs,
+    )
+
+    # 40 synthetic 60-bit hashes with planted near-pairs (flip <=3 bits)
+    import random
+
+    rng = random.Random(7)
+    hashes = []
+    for i in range(20):
+        h = rng.getrandbits(60)
+        hashes.append(h)
+        flipped = h
+        for _ in range(rng.randint(0, 3)):
+            flipped ^= 1 << rng.randrange(60)
+        hashes.append(flipped)
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    truth = {
+        (a, b)
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if bin(ha ^ hb).count("1") <= 3
+    }
+    for target in (64, 1):  # target=1 forces the largest b the rule allows
+        plan = simhash_band_plan(len(rows), target_bucket=target)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_hamming_pairs(sh, plan).collect()
+        }
+        assert got == truth, f"plan b={plan[0]}"
+    # explicit larger-b plans (what the rule picks at 10^9 and 10^12)
+    for n_virtual in (10**9, 10**12):
+        plan = simhash_band_plan(n_virtual)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_hamming_pairs(sh, plan).collect()
+        }
+        assert got == truth, f"plan b={plan[0]}"
+
+
 def test_embedding_lsh_recall_floor(spark):
     """n->(planes, tables) rule (plans/pipeline_queries.py:lsh_params):
     as the corpus grows and the plane count with it, the multi-table

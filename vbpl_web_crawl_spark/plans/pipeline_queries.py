@@ -577,19 +577,96 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup PAIRS: Hamming distance <= 3 over a 32-bit simhash
-# (wider than the 16-bit fingerprint gate above: 16 bits collide
-# massively on a shared-vocabulary corpus — tens of thousands of
-# accidental pairs — while 32 bits leave only genuinely similar docs).
-# Blocking by pigeonhole: split the hash into 4 byte bands — a pair
-# within distance 3 differs in at most 3 bands, so it shares at least
-# one band verbatim. Candidates = band equi-join (never all-pairs),
-# verify = exact popcount(xor) <= 3. Same shape at 64 bits / 10^9 docs.
+# SimHash near-dup PAIRS: Hamming distance <= 3 over a 60-bit simhash.
+# Blocking follows Manku/Jain/Das Sarma (WWW'07, "Detecting
+# Near-Duplicates for Web Crawling"): split the hash into b blocks with
+# b > radius — a pair within Hamming radius r differs in at most r
+# blocks, so SOME combination of (b - r) blocks matches verbatim.
+# Candidates = equi-join on (combo_id, packed combo key) over all
+# C(b, r) combinations; verify = exact popcount(xor) <= r. Never
+# all-pairs.
+#
+# The block count is SIZED FROM CORPUS n (simhash_band_plan), not fixed:
+# the effective key is bits*(b-r)/b wide, so b is the smallest block
+# count >= r+1 whose key width covers log2(n / target_bucket) — buckets
+# stay near a constant target as n grows (same spirit as lsh_params
+# below) and the per-bucket self-join never degenerates quadratic. At
+# n = 10^9, r = 3: b = 5, C(5,3) = 10 tables, 24-bit keys. 60 bits (15
+# hex chars of md5) keeps the hash BIGINT-safe in both engines.
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS32 = 32
+_SIMHASH_BITS_ND = 60
 _SIMHASH_HAM_T = 3
-_SIMHASH_BANDS_N = 4  # 8-bit bands of the 32-bit hash
+_TOK_INT60_SQL = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+
+
+def simhash_band_plan(
+    n_docs: int,
+    radius: int = _SIMHASH_HAM_T,
+    bits: int = _SIMHASH_BITS_ND,
+    target_bucket: int = 64,
+) -> tuple[int, list[int], list[int], list[tuple[int, ...]]]:
+    """(blocks, widths, offsets, combos) for pigeonhole simhash blocking
+    at corpus size n: smallest b >= radius+1 whose combined-key width
+    bits*(b-radius)/b reaches log2(n / target_bucket). Candidate cost is
+    O(n * C(b, radius) * target_bucket) — linear in n."""
+    import math
+    from itertools import combinations
+
+    need = max(0.0, math.log2(max(n_docs, 2) / max(target_bucket, 1)))
+    b = radius + 1
+    while bits * (b - radius) / b < need and bits // (b + 1) >= 2:
+        b += 1
+    widths = [bits // b + (1 if j < bits % b else 0) for j in range(b)]
+    offsets = [sum(widths[:j]) for j in range(b)]
+    combos = list(combinations(range(b), b - radius))
+    return b, widths, offsets, combos
+
+
+def simhash_hamming_pairs(
+    sh: DataFrame,
+    plan: tuple[int, list[int], list[int], list[tuple[int, ...]]],
+    radius: int = _SIMHASH_HAM_T,
+) -> DataFrame:
+    """Near-dup (doc_a, doc_b, hamming) pairs from a (doc_id, simhash)
+    frame under the given band plan: posexplode one packed key per block
+    combo, equi-join on (table_id, key), exact popcount verify."""
+    _, widths, offsets, combos = plan
+    keys = []
+    for combo in combos:
+        shift = 0
+        expr = F.lit(0).cast("long")
+        for blk in combo:
+            mask = (1 << widths[blk]) - 1
+            val = F.shiftright(F.col("simhash"), offsets[blk]).bitwiseAND(F.lit(mask))
+            expr = expr + F.shiftleft(val, shift)
+            shift += widths[blk]
+        keys.append(expr)
+    bands = sh.select(
+        "doc_id", "simhash", F.posexplode(F.array(*keys)).alias("table_id", "key")
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "table_id", "key"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "table_id", "key"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        x.join(y, ["table_id", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= radius)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
+# The oracle SQL below inlines the b=4 plan (four 15-bit blocks, combos
+# of size 1): simhash_band_plan keeps b=4 for every n up to
+# target_bucket * 2^15 ≈ 2M docs, so it is exact at sf0.01 and sf0.1;
+# the Spark side computes the plan from the actual corpus size and
+# diverges from this SQL only past that scale (where DuckDB could not
+# run anyway). Plan growth is covered by tests/test_properties.py.
 
 
 @_register(
@@ -602,16 +679,16 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id,
-         {', '.join(f"sum(CASE WHEN ({_TOK_INT_SQL} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS t{j}" for j in range(_SIMHASH_BITS32))}
+         {', '.join(f"sum(CASE WHEN ({_TOK_INT60_SQL} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS t{j}" for j in range(_SIMHASH_BITS_ND))}
   FROM toks GROUP BY doc_id
 ),
 sh AS (
   SELECT doc_id,
-         {' + '.join(f"(CASE WHEN t{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(_SIMHASH_BITS32))} AS simhash
+         {' + '.join(f"(CASE WHEN t{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(_SIMHASH_BITS_ND))} AS simhash
   FROM bits
 ),
 bands AS (
-  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 8)) & 255 AS band_val
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 15)) & 32767 AS band_val
   FROM sh, (SELECT unnest([0,1,2,3]) AS band_id)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -623,47 +700,31 @@ WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {_SIMHASH_HAM_T}
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    sh = simhash60(docs)
+    plan = simhash_band_plan(docs.count())
+    return simhash_hamming_pairs(sh, plan)
+
+
+def simhash60(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) with a 60-bit simhash over distinct word tokens
+    (bit source: first 15 hex chars of md5(token), identical in DuckDB)."""
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
-    tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     tallies = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(tok_int, j).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"t{j}")
-            for j in range(_SIMHASH_BITS32)
+            for j in range(_SIMHASH_BITS_ND)
         ]
     )
     simhash = None
-    for j in range(_SIMHASH_BITS32):
-        term = F.when(F.col(f"t{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(_SIMHASH_BITS_ND):
+        term = F.when(F.col(f"t{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         simhash = term if simhash is None else simhash + term
-    sh = tallies.select("doc_id", simhash.alias("simhash"))
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS_N)])
-        ).alias("band_id"),
-    ).withColumn(
-        # shiftright() takes a literal bit count, so the per-band shift
-        # is a SQL expression (still pure Catalyst)
-        "band_val",
-        F.expr("(simhash >> (band_id * 8)) & 255"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(ham <= _SIMHASH_HAM_T)
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .distinct()
-    )
+    return tallies.select("doc_id", simhash.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
