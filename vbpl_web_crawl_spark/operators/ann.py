@@ -14,7 +14,7 @@ Python in the per-vector path; only the k centroids cross the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,19 +48,58 @@ def assign_to_centroids(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fit(emb: DataFrame, k: int = 16, iters: int = 4) -> DataFrame:
-    """Deterministic-init k-means over (vec_id, embedding): centroids
-    seeded from the k smallest vec_ids, ``iters`` Lloyd steps as
-    DataFrame jobs (assign = broadcast join; update = posexplode +
-    per-dimension avg). Returns (cid, centroid)."""
-    w = Window.orderBy("vec_id")
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select((F.row_number().over(w) - 1).alias("cid"), F.col("embedding").alias("centroid"))
+def _farthest_point_seeds(sample: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-center greedy init: seed 0 = smallest vec_id
+    hash (a deterministic 'random' draw); seed i = the sample vector
+    farthest (max 1 - cos) from its nearest already-chosen seed, ties
+    to the smaller vec_id. Spreads seeds across the data instead of
+    correlating them, which fixed-low-id seeding does when low ids
+    cluster. Each step is one small job on the bounded sample and only
+    single centroid rows ever cross the driver."""
+    first = (
+        sample.orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("embedding")
+        .collect()[0][0]
     )
+    chosen = [[float(v) for v in first]]
+    for _ in range(1, k):
+        cos_to = [
+            _cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in chosen
+        ]
+        nearest = cos_to[0] if len(cos_to) == 1 else F.greatest(*cos_to)
+        row = (
+            sample.select("vec_id", "embedding", nearest.alias("mc"))
+            .orderBy(F.asc("mc"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append([float(v) for v in row.embedding])
+    spark = sample.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chosen)], "cid int, centroid array<double>"
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 16, iters: int = 4, sample_per_centroid: int = 256
+) -> DataFrame:
+    """Deterministic k-means over (vec_id, embedding), fit on a
+    deterministic hash-sample: rows with pmod(xxhash64(vec_id), m) == 0,
+    m sized so the sample holds ~k * sample_per_centroid vectors — Lloyd
+    never scans the full corpus, which at 10^10 vectors is the
+    difference between a bounded fit job and iters full-table passes.
+    Init = deterministic farthest-point (k-center greedy) on the sample.
+    Assign the full corpus once afterwards via assign_to_centroids.
+    Returns (cid, centroid)."""
+    n = emb.count()
+    m = max(1, n // max(k * sample_per_centroid, 1))
+    sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0) if m > 1 else emb
+    if m > 1 and sample.count() < k:  # degenerate corpus; fit on all rows
+        sample = emb
+    cents = _farthest_point_seeds(sample, k)
     for _ in range(iters):
-        assigned = assign_to_centroids(emb, cents)
+        assigned = assign_to_centroids(sample, cents)
         cents = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cid", "pos")

@@ -1035,6 +1035,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivf_full_probe",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = k: every inverted list is probed, so by
+    construction the result EQUALS brute-force cosine top-k — an exact
+    SQL oracle over the whole IVF machinery (k-means fit, assignment,
+    probe selection, in-list scoring); ann_ivf_topk keeps the bounded
+    probe + recall pytest."""
+    from vbpl_web_crawl_spark.operators.ann import (
+        assign_to_centroids,
+        ivf_search,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = 16
+    cents = kmeans_fit(emb, k=k, iters=3)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assigned = assign_to_centroids(emb.filter(F.col("vec_id") != 0), cents)
+    return ivf_search(assigned, cents, qv, n_probe=k, topk=10).select("vec_id", "cosine")
+
+
+@_register(
     "ann_lsh_bucket_histogram",
     f"""
 WITH dots AS (SELECT vec_id, {_PLANES_SQL} FROM embeddings)
