@@ -39,6 +39,78 @@ def test_first_seen_exactly_once_across_microbatches(spark, tmp_path):
         assert r.bucket == r.url_hash % 4
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving _dedup_fn."""
+
+    def __init__(self):
+        self._v = None
+        self.updates = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.updates += 1
+
+
+def test_state_bytes_bounded_by_new_urls_not_duplicate_volume():
+    """State growth bound (VERDICT r2 #4): the per-key blob scales with
+    DISTINCT hashes only, and all-duplicate triggers rewrite NOTHING —
+    state I/O is sub-linear (zero) in duplicate volume."""
+    import pandas as pd
+
+    from vbpl_web_crawl_spark.streaming.stateful import _dedup_fn
+
+    def batch(hashes):
+        return pd.DataFrame(
+            {"bucket": [0] * len(hashes), "url_hash": hashes, "url": [f"u{h}" for h in hashes]}
+        )
+
+    st = _FakeState()
+    fresh = list(range(1000))
+    emitted = list(_dedup_fn((0,), iter([batch(fresh)]), st))
+    assert sum(len(p) for p in emitted) == 1000
+    assert st.updates == 1
+    size_after_fresh = len(st.get[0])
+
+    # 50 triggers of pure duplicates, 10x the original volume
+    for _ in range(50):
+        out = list(_dedup_fn((0,), iter([batch(fresh * 10)]), st))
+        assert sum(len(p) for p in out) == 0
+    assert st.updates == 1, "duplicate-only triggers must not rewrite state"
+    assert len(st.get[0]) == size_after_fresh
+    assert size_after_fresh == 1000 * 8  # sorted int64 blob, distinct only
+
+    # one genuinely new hash -> exactly one more bounded rewrite
+    list(_dedup_fn((0,), iter([batch([10**6])]), st))
+    assert st.updates == 2
+    assert len(st.get[0]) == size_after_fresh + 8
+
+
+def test_dedup_bucket_sizing_rule():
+    """dedup_buckets_for keeps per-blob entries near the target as the
+    corpus grows: blobs stay ~constant, bucket count carries the scale."""
+    from vbpl_web_crawl_spark.streaming.stateful import (
+        TARGET_BLOB_ENTRIES,
+        dedup_buckets_for,
+    )
+
+    prev = 0
+    for n in (10**4, 10**6, 10**8, 10**10):
+        b = dedup_buckets_for(n)
+        assert b >= prev
+        prev = b
+        assert n / b <= TARGET_BLOB_ENTRIES  # per-blob bound holds
+        assert b & (b - 1) == 0  # power of two
+    assert dedup_buckets_for(10**10) == 1 << 20
+
+
 def test_first_seen_matches_batch_distinct(spark, tmp_path):
     src = str(tmp_path / "src2")
     os.makedirs(src, exist_ok=True)

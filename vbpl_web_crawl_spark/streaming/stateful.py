@@ -10,10 +10,21 @@ vbpl.py:147-148) — here membership is a vectorized numpy check against
 per-bucket state, no per-row I/O.
 
 State format: one binary blob per bucket = sorted int64 hashes
-(np.searchsorted membership). At production scale the blob becomes a
-Bloom prefilter + RocksDB state store entries (Spark manages the state
-store; the operator code is unchanged) — the test-scale blob keeps the
-semantics bit-exact and the serialization trivial.
+(np.searchsorted membership). Exact first-seen dedup's state floor is
+linear in DISTINCT hashes — no sketch can cut that without wrongly
+dropping fresh URLs — so the operator bounds what it can:
+
+* per-key blob size: key the state by ``dedup_buckets_for(n)`` buckets
+  so each blob stays near TARGET_BLOB_ENTRIES hashes (~128 KiB) at the
+  expected corpus size — per-trigger (de)serialization cost is constant
+  per key, never corpus-sized;
+* rewrite volume: ``state.update`` is called ONLY when a batch admits
+  new hashes — duplicate-heavy triggers (the common steady state of a
+  re-crawl) rewrite nothing, so state I/O grows with NEW URLs, not with
+  duplicate volume (asserted in tests/test_streaming_stateful.py).
+
+With Spark's RocksDB state store the per-key blobs become point lookups
+and the same sizing rule keys its SST layout.
 """
 
 from __future__ import annotations
@@ -38,6 +49,18 @@ OUT_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType([T.StructField("seen_blob", T.BinaryType(), True)])
 
+TARGET_BLOB_ENTRIES = 1 << 14  # ~16k hashes = 128 KiB per state blob
+
+
+def dedup_buckets_for(n_urls_expected: int, target_entries: int = TARGET_BLOB_ENTRIES) -> int:
+    """Bucket count keeping each per-key state blob near ``target_entries``
+    hashes at the expected corpus size (power of two for cheap pmod
+    distribution): 10^10 URLs -> 2^20 buckets of ~10k hashes each."""
+    import math
+
+    need = max(n_urls_expected, 1) / max(target_entries, 1)
+    return max(8, 1 << math.ceil(math.log2(max(need, 1.0))))
+
 
 def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     if state.exists:
@@ -45,6 +68,7 @@ def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame
         seen = np.frombuffer(bytes(blob), dtype=np.int64)
     else:
         seen = np.empty(0, dtype=np.int64)
+    grew = False
     for pdf in pdfs:
         arr = pdf["url_hash"].to_numpy(dtype=np.int64)
         # vectorized: not already in state AND first occurrence in batch
@@ -54,11 +78,12 @@ def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame
         if fresh.any():
             out = pdf.loc[fresh, ["bucket", "url_hash", "url"]]
             seen = np.unique(np.concatenate([seen, arr[fresh]]))
+            grew = True
             yield out
-        else:
-            # still merge batch-local info (none new) — nothing to emit
-            pass
-    state.update((seen.tobytes(),))
+    if grew or not state.exists:
+        # all-duplicate triggers (the steady state of a re-crawl) must
+        # not rewrite the blob: state I/O scales with NEW urls only
+        state.update((seen.tobytes(),))
 
 
 def streaming_first_seen(
