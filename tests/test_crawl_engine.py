@@ -351,6 +351,58 @@ def test_resume_across_compaction_boundary(spark, tmp_path_factory):
     assert a["seen_urls"].count() == b["seen_urls"].count()
 
 
+def test_intra_round_pacing_meters_crawl_delay(spark, tmp_path_factory):
+    """T2 instantaneous-rate fidelity: with pace_fetches=True, same-host
+    fetches inside one salted partition are spaced >= crawl_delay apart
+    (metered from the recorded fetch_ts via per-partition metrics), and
+    the schedule/visit order/seen set are EXACTLY the unpaced oracle's —
+    pacing changes when requests fire, never what or in which order."""
+    delay = 0.25
+    site = SITE.SiteConfig(
+        n_pages=1,
+        docs_per_page=6,
+        related_per_doc=1,
+        max_attachments=1,
+        fault_every=7,
+        private_every=5,
+    )
+    robots = {
+        h: {**r, "crawl_delay": delay} for h, r in SITE.ROBOTS.items()
+    }
+    cfg = CrawlConfig(
+        site=site,
+        robots=robots,
+        round_window_s=30.0,
+        max_retries=3,
+        n_seen_partitions=4,
+        bloom_bits=1 << 16,
+        cuckoo_buckets=1 << 10,
+        pace_fetches=True,
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_paced"))
+    eng = CrawlEngine(spark, cfg, ckpt)
+    eng.run()
+    oracle = run_oracle(cfg.site, cfg.robots, cfg.round_window_s, cfg.max_retries)
+    state = eng.final_state()
+    order = [r.url for r in state["visit_log"].orderBy("visit_seq").select("url").collect()]
+    assert order == oracle.visit_order
+    assert {r.url for r in state["enqueue_log"].select("url").collect()} == oracle.seen
+    # metering: within a (round, partition), a host's p fetches span at
+    # least (p-1) * crawl_delay of wall time (token pacing held)
+    metered = 0
+    for m in state["metrics"].collect():
+        if m.pages_fetched > 1:
+            span = m.last_fetch_ts - m.first_fetch_ts
+            assert span >= (m.pages_fetched - 1) * delay * 0.98, (
+                m.host,
+                m.partition,
+                span,
+                m.pages_fetched,
+            )
+            metered += 1
+    assert metered > 0, "test must exercise a multi-fetch partition"
+
+
 def test_per_host_concurrency_cap(crawl):
     """T3: a host's fetches in one round spread over at most
     per_host_slots salted partitions (the per-host concurrency bound)."""
