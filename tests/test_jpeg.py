@@ -79,13 +79,7 @@ def test_interchange_with_javax_imageio(spark):
     assert psnr >= 40.0, psnr
 
 
-def test_external_encoder_decodes_or_states_boundary(spark):
-    """Decode a JPEG produced by an EXTERNAL encoder (javax.imageio).
-    If it emits 4:4:4 our decoder must reconstruct it; if it subsamples
-    chroma, the documented NotImplementedError boundary must fire —
-    never a wrong image."""
-    jvm = spark._jvm
-    px = IMG.synth_pixels("ext-enc")
+def _imageio_encode(jvm, px, quality=None):
     h, w = px.shape[:2]
     img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
     for y in range(h):
@@ -93,12 +87,67 @@ def test_external_encoder_decodes_or_states_boundary(spark):
             r, g, b = (int(v) for v in px[y, x])
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
     baos = jvm.java.io.ByteArrayOutputStream()
-    assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
-    data = bytes(baos.toByteArray())
-    try:
-        dec = J.jpeg_decode(data)
-    except NotImplementedError as e:
-        assert "subsampled" in str(e)
-        return
+    if quality is None:
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        return bytes(baos.toByteArray())
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    params = writer.getDefaultWriteParam()
+    params.setCompressionMode(2)  # MODE_EXPLICIT
+    params.setCompressionQuality(float(quality))
+    out = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(out)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), params)
+    out.flush()
+    return bytes(baos.toByteArray())
+
+
+def _sof0_sampling(data):
+    """(h, v) factors of the first SOF0 component, parsed off the wire."""
+    import struct
+
+    pos = 2
+    while pos < len(data):
+        while data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker == 0xC0:
+            hv = data[pos + 2 + 7]
+            return hv >> 4, hv & 0xF
+        pos += seg_len
+    raise AssertionError("no SOF0")
+
+
+def test_external_encoder_decodes(spark):
+    """Decode a JPEG produced by an EXTERNAL encoder (javax.imageio) at
+    its DEFAULT settings — whatever sampling it picks, the decode must
+    reconstruct the source (no NotImplementedError escape hatch)."""
+    jvm = spark._jvm
+    px = IMG.synth_pixels("ext-enc")
+    data = _imageio_encode(jvm, px)
+    dec = J.jpeg_decode(data)
     assert dec.shape == px.shape
     assert IMG.psnr(px, dec) >= 25.0  # external quality setting unknown
+
+
+def test_external_subsampled_420_decodes(spark):
+    """4:2:0 cross-validation: javax.imageio subsamples chroma at low
+    compression quality; assert the stream really is subsampled (SOF0
+    sampling factors > 1x1), then decode it against the source."""
+    jvm = spark._jvm
+    px = IMG.synth_pixels("ext-420")
+    data = None
+    for q in (0.5, 0.4, 0.3, 0.7):
+        cand = _imageio_encode(jvm, px, quality=q)
+        if _sof0_sampling(cand) != (1, 1):
+            data = cand
+            break
+    assert data is not None, "imageio never subsampled; widen the quality sweep"
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape
+    assert IMG.psnr(px, dec) >= 25.0
+    # decode is still bit-deterministic on the subsampled path
+    assert np.array_equal(J.jpeg_decode(data), dec)

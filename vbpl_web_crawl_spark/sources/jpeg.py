@@ -12,9 +12,11 @@ Scope:
   simplicity, and the tables travel in the stream as T.81 requires).
 - Decoder: general baseline sequential — parses DQT/DHT/SOF0/SOS/DRI
   from the stream (arbitrary standard tables, e.g. libjpeg output),
-  handles byte stuffing and restart markers. Unsupported: progressive
-  (SOF2), subsampled chroma (raises NotImplementedError with the
-  boundary stated).
+  handles byte stuffing, restart markers, and MCU-interleaved
+  subsampled chroma (4:2:0 / 4:2:2 / 4:4:0 — any integer sampling
+  factors, nearest-neighbor upsample). Unsupported: progressive (SOF2)
+  and multi-scan baseline (raise NotImplementedError with the boundary
+  stated).
 - All DCT/IDCT math is scaled-int64 einsum (like phash64): float matmul
   dispatches to BLAS whose reduction order varies with thread count, and
   decoded pixels feed content hashes — a worker must decode bit-
@@ -499,9 +501,9 @@ def _extend(v: int, s: int) -> int:
 def jpeg_decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> RGB8 HxWx3 (or HxWx3 replicated gray).
 
-    Baseline sequential only; subsampled chroma raises
-    NotImplementedError (the reference corpus is scanned pages — encode
-    them 4:4:4 or plug libjpeg into the codec registry for 4:2:0)."""
+    Baseline sequential, including MCU-interleaved subsampled chroma
+    (4:2:0 / 4:2:2 / 4:4:0); progressive (SOF2) raises
+    NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (no SOI)"
     pos = 2
     qtables: dict[int, np.ndarray] = {}
@@ -555,18 +557,29 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             ncomp = payload[5]
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise NotImplementedError(f"sampling factors {ch}x{cv} out of range")
+                comps.append({"id": cid, "tq": tq, "h": ch, "v": cv})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    # spec-legal but unseen in practice (non-integer
+                    # chroma upsample ratios)
                     raise NotImplementedError(
-                        "subsampled chroma (sampling != 1x1) not supported — "
-                        "re-encode 4:4:4 or register a libjpeg-backed codec"
+                        f"non-integer upsampling ratio for sampling {c['h']}x{c['v']}"
                     )
-                comps.append({"id": cid, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             ns = payload[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan baseline (ns < nf) not supported"
+                )
             for si in range(ns):
                 cid, tt = payload[1 + 2 * si : 3 + 2 * si]
                 for c in comps:
@@ -580,54 +593,79 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, h, w, comps, qtables, restart_interval) -> np.ndarray:
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    n_blocks = bh * bw_
+    """MCU-interleaved baseline scan, any (h, v) sampling factors.
+
+    4:4:4 is the hmax = vmax = 1 special case; 4:2:0 / 4:2:2 / 4:4:0
+    decode through the same loop: each MCU carries h_i * v_i blocks per
+    component in raster order, restart intervals count MCUs, and
+    subsampled planes are upsampled by pixel replication (spec-legal
+    nearest-neighbor; external 4:2:0 encoders round-trip at PSNR well
+    above the scanned-page gate). Single-component scans are
+    non-interleaved by definition (T.81 A.2.2): the data unit is one
+    block and sampling factors do not apply."""
     ncomp = len(comps)
-    coeff = np.zeros((ncomp, n_blocks, 64), dtype=np.int64)
+    if ncomp == 1:
+        hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
+    else:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcx * c["h"]
+        c["bh"] = mcy * c["v"]
+    coeff = [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64) for c in comps]
     segs = _split_entropy_segments(data, pos)
     seg_i = 0
     br = _FastBits(segs[0])
     prev_dc = [0] * ncomp
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi in range(mcx * mcy):
+        if restart_interval and mi and mi % restart_interval == 0:
             seg_i += 1  # RSTn: fresh segment, byte-aligned, DC reset
             br = _FastBits(segs[seg_i])
             prev_dc = [0] * ncomp
+        my, mx = divmod(mi, mcx)
         for ci, c in enumerate(comps):
             dc_lut, ac_lut = c["dc"], c["ac"]
-            e = int(dc_lut[br.peek16()])
-            if e < 0:
-                raise ValueError("invalid Huffman code (DC)")
-            br.skip(e & 31)
-            s = e >> 5
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc[ci] += diff
-            zz = coeff[ci, bi]
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k <= 63:
-                e = int(ac_lut[br.peek16()])
-                if e < 0:
-                    raise ValueError("invalid Huffman code (AC)")
-                br.skip(e & 31)
-                sym = e >> 5
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-    # dequantize (zigzag domain), reorder, IDCT
+            for bv in range(c["v"]):
+                for bh_ in range(c["h"]):
+                    e = int(dc_lut[br.peek16()])
+                    if e < 0:
+                        raise ValueError("invalid Huffman code (DC)")
+                    br.skip(e & 31)
+                    s = e >> 5
+                    diff = _extend(br.bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    zz = coeff[ci][(my * c["v"] + bv) * c["bw"] + mx * c["h"] + bh_]
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k <= 63:
+                        e = int(ac_lut[br.peek16()])
+                        if e < 0:
+                            raise ValueError("invalid Huffman code (AC)")
+                        br.skip(e & 31)
+                        sym = e >> 5
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        size = sym & 0xF
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+    # dequantize (zigzag domain), reorder, IDCT, upsample, crop
     planes = []
     for ci, c in enumerate(comps):
         q = qtables[c["tq"]][_ZZ]  # zigzag-ordered steps
         dq = coeff[ci] * q
         nat = dq[:, _UNZZ].reshape(-1, 8, 8)
         px = _idct_blocks(nat) + 128
-        planes.append(np.clip(_unblockify(px, bh * 8, bw_ * 8), 0, 255)[:h, :w])
+        plane = np.clip(_unblockify(px, c["bh"] * 8, c["bw"] * 8), 0, 255)
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sy > 1 or sx > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        planes.append(plane[:h, :w])
     if ncomp == 1:
         g = planes[0].astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
