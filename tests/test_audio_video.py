@@ -1,5 +1,5 @@
-"""Audio (real WAV codec) and video (stubbed demux, real sampler
-plumbing) modality tests."""
+"""Audio (real WAV codec) and video (real MJPEG-in-AVI container)
+modality tests."""
 
 import numpy as np
 import pytest
@@ -68,6 +68,43 @@ def test_audio_corpus_spark_pipeline(spark):
     }
     for r in rows:
         assert again[r.audio_id] == r.rms
+
+
+def test_avi_mjpeg_roundtrip_psnr40():
+    """Real-container invariant (north_rule: PSNR >= 40 dB per frame for
+    lossy payloads): encode frames to AVI-MJPEG, demux, decode EVERY
+    frame, compare to the source pixels."""
+    from vbpl_web_crawl_spark.sources import images as IMG
+    from vbpl_web_crawl_spark.sources import jpeg as J
+    from vbpl_web_crawl_spark.sources import video as V
+
+    frames = V.synth_frames("rt-vid", 7)
+    data = V.avi_mjpeg_encode(frames, fps=5)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    got, fps, w, h = V.avi_mjpeg_demux(data)
+    assert fps == 5 and (h, w) == frames[0].shape[:2]
+    assert len(got) == 7
+    for orig, jbytes in zip(frames, got):
+        assert jbytes[:2] == b"\xff\xd8" and jbytes[-2:] == b"\xff\xd9"
+        assert IMG.psnr(orig, J.jpeg_decode(jbytes)) >= 40.0
+    # container bytes are deterministic (byte-stable re-export)
+    assert V.avi_mjpeg_encode(frames, fps=5) == data
+
+
+def test_avi_mjpeg_demux_rejects_foreign_codec():
+    """A vids stream with a non-MJPEG handler must fail loud, never
+    hand garbage to the JPEG decoder."""
+    import pytest as _pytest
+
+    from vbpl_web_crawl_spark.sources import video as V
+
+    frames = V.synth_frames("codec-x", 3)
+    data = bytearray(V.avi_mjpeg_encode(frames, fps=4))
+    i = data.find(b"vidsMJPG")
+    assert i > 0
+    data[i + 4 : i + 8] = b"H264"
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        V.avi_mjpeg_demux(bytes(data))
 
 
 def test_video_frame_sampler(spark):

@@ -488,9 +488,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("video_frame_sample_stats", None)
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video modality: frame-sampling plumbing over the stub container
-    (real demux is the documented ffmpeg boundary) — every 4th frame
-    decoded to PNG, per-video frame counts + luma aggregates."""
+    """Video modality: frame sampling over REAL AVI-MJPEG containers
+    (sources/video.py demux; only the strided frames' JPEG payloads are
+    decoded) — every 4th frame to PNG, per-video counts + luma aggs."""
     from vbpl_web_crawl_spark.sources.corpus import sample_frames, synth_video_corpus
 
     videos = synth_video_corpus(spark, 24, partitions=4)

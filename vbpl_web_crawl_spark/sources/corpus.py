@@ -9,9 +9,11 @@ status per modality:
 - audio: real RIFF/WAV PCM16 (sources/audio.py); compressed codecs
   (mp3/opus) are a documented NotImplementedError boundary (no ffmpeg
   in this container);
-- video: container parsing is STUBBED (deterministic frame synthesis
-  behind the same boundary) — the frame-sample operator, schema,
-  partitioning and batch shape are real and tested.
+- video: real MJPEG-in-AVI container (sources/video.py) — standard
+  RIFF framing + one baseline JPEG per frame; the sampler demuxes
+  chunk headers and decodes only the strided frames. Inter-frame
+  codecs (h264/vp9) are a documented NotImplementedError boundary
+  (no ffmpeg in this container).
 """
 
 from __future__ import annotations
@@ -168,10 +170,12 @@ def audio_feature_table(corpus: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Video modality — container decode STUBBED (no ffmpeg in container),
-# frame-sample plumbing real: a "video" is k deterministic frames; the
-# sampler decodes only every ``stride``-th frame, which is exactly the
-# batch shape an ffmpeg-backed sampler has (seek + decode keyframes).
+# Video modality — REAL container: MJPEG-in-AVI (sources/video.py),
+# one baseline JPEG per frame inside standard RIFF framing. The sampler
+# demuxes chunk headers and decodes ONLY every ``stride``-th frame —
+# the seek-then-decode batch shape an ffmpeg-backed sampler has.
+# Inter-frame codecs (h264/vp9 in mp4/webm) remain the documented
+# NotImplementedError boundary below.
 # ---------------------------------------------------------------------------
 
 VIDEO_SCHEMA = T.StructType(
@@ -184,34 +188,20 @@ VIDEO_SCHEMA = T.StructType(
     ]
 )
 
-_VID_MAGIC = b"VSYN"
-
 
 def synth_video_corpus(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Synthetic "videos": VSYN container = magic + frame count + the
-    seed id. Real containers (mp4/webm) raise NotImplementedError in
-    sample_frames — this stub keeps the operator surface testable."""
+    """Deterministic synthetic videos as REAL AVI-MJPEG bytes (any
+    standard demuxer reads them), built in Arrow batches on executors."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         from vbpl_web_crawl_spark.sources.images import splitmix64
+        from vbpl_web_crawl_spark.sources.video import synth_video_record
 
         for pdf in it:
             rows = []
             for i in pdf["id"]:
-                vid = f"vid{int(i):08d}"
                 n_frames = 8 + int(splitmix64(int(i))) % 25
-                payload = _VID_MAGIC + struct.pack(">I", n_frames) + vid.encode()
-                rows.append(
-                    {
-                        "video_id": vid,
-                        "bytes": payload,
-                        "n_frames": n_frames,
-                        "fps": 4,
-                        "fmt": "vsyn",
-                    }
-                )
+                rows.append(synth_video_record(f"vid{int(i):08d}", n_frames))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
     return spark.range(n).repartition(partitions).mapInPandas(gen, VIDEO_SCHEMA)
@@ -230,34 +220,33 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(videos: DataFrame, stride: int = 4) -> DataFrame:
     """Every stride-th frame of each video as a PNG binary row — the
-    frame-sampling stage of a video training pipeline. Only the 'vsyn'
-    stub container is decodable here; real codecs raise."""
+    frame-sampling stage of a video training pipeline. AVI-MJPEG is
+    demuxed for real (sources/video.py); the demux walks chunk headers
+    and decodes only the sampled frames' JPEG payloads. Inter-frame
+    codecs (mp4/webm) need ffmpeg and raise the documented boundary."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         from vbpl_web_crawl_spark.sources import images as IMG
+        from vbpl_web_crawl_spark.sources import jpeg as J
+        from vbpl_web_crawl_spark.sources.video import avi_mjpeg_demux
 
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.fmt != "vsyn":
+                if r.fmt != "avi-mjpeg":
                     raise NotImplementedError(
-                        f"video container {r.fmt!r}: real demux/decode needs "
-                        "ffmpeg — plug in here; the vsyn stub exercises the "
-                        "sampler plumbing"
+                        f"video container {r.fmt!r}: inter-frame decode needs "
+                        "ffmpeg — register it here; AVI-MJPEG demuxes natively"
                     )
-                data = bytes(r.bytes)
-                assert data[:4] == _VID_MAGIC
-                (n_frames,) = struct.unpack(">I", data[4:8])
-                vid = data[8:].decode()
-                for f_no in range(0, n_frames, stride):
-                    px = IMG.synth_pixels(f"{vid}/frame{f_no}")
+                frames, fps, _, _ = avi_mjpeg_demux(bytes(r.bytes))
+                fps = fps or r.fps
+                for f_no in range(0, len(frames), stride):
+                    px = J.jpeg_decode(frames[f_no])
                     rows.append(
                         {
                             "video_id": r.video_id,
                             "frame_no": f_no,
-                            "ts_s": f_no / r.fps,
+                            "ts_s": f_no / fps,
                             "frame_png": IMG.png_encode(px),
                             "mean_luma": float(px.astype("float64").mean()),
                         }
