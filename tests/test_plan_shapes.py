@@ -67,3 +67,100 @@ def test_scan_prunes_columns(spark):
     plan = _plan(spark, "point_lookup_order")
     # projection pruning: unused columns never leave the scan
     assert "o_orderpriority" not in plan.split("ReadSchema")[-1]
+
+
+# ---------------------------------------------------------------------------
+# Bench-suite plan snapshots (VERDICT r2 #9): every headline query's
+# physical plan must keep the shape we ship — partial aggregation,
+# hash joins on real keys (no cartesian), broadcast dimensions, top-k
+# as TakeOrderedAndProject — so a future plan regression fails CI, not
+# the 100 TB run.
+# ---------------------------------------------------------------------------
+
+import re as _re
+from collections import Counter
+
+
+def _nodes(plan: str) -> Counter:
+    return Counter(_re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+
+
+def _shuffles(n: Counter) -> int:
+    return n["Exchange"]  # BroadcastExchange counts separately
+
+
+_BENCH_PLAN_EXPECT = {
+    # query -> callable(plan_text, node_counter) asserting its shape
+    "flagship_latest_order_dossier": lambda p, n: (
+        "WindowGroupLimit" in p and n["BroadcastHashJoin"] >= 1
+    ),
+    "agg_pricing_summary": lambda p, n: (
+        n["HashAggregate"] >= 2 and _shuffles(n) == 1 and "PushedFilters: [IsNotNull" in p
+    ),
+    "edges_join_lineitem_part_supplier": lambda p, n: (
+        n["BroadcastHashJoin"] >= 2 and "GreaterThanOrEqual(l_quantity,49.0)" in p
+    ),
+    "anti_join_customers_without_orders": lambda p, n: (
+        n["BroadcastHashJoin"] == 1 and "LeftAnti" in p
+    ),
+    "latest_event_per_user": lambda p, n: (
+        # rank-1 pruned per partition BEFORE and after the shuffle
+        n["WindowGroupLimit"] >= 1 and _shuffles(n) == 1
+    ),
+    "sectionize_events_by_login": lambda p, n: (
+        # the groupBy reuses the window's hash partitioning: ONE shuffle
+        n["Window"] == 1 and n["HashAggregate"] >= 2 and _shuffles(n) == 1
+    ),
+    "fuzzy_join_part_names": lambda p, n: (
+        # band-blocked equi-join, never a nested-loop theta join
+        n["BroadcastHashJoin"] + n["SortMergeJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "dedup_exact_clusters": lambda p, n: (
+        n["HashAggregate"] >= 2 and _shuffles(n) == 1
+    ),
+    "dedup_minhash_lsh_pairs": lambda p, n: (
+        n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "dedup_minhash_verified_pairs": lambda p, n: (
+        n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "fingerprint_simhash": lambda p, n: n["HashAggregate"] >= 2,
+    "text_stats_by_lang": lambda p, n: (
+        n["HashAggregate"] >= 2 and _shuffles(n) == 1
+    ),
+    "ann_cosine_topk": lambda p, n: (
+        # broadcast single-row query vector + per-partition top-k heap
+        n["TakeOrderedAndProject"] == 1 and n["BroadcastExchange"] >= 1
+    ),
+    "ann_lsh_bucket_histogram": lambda p, n: (
+        n["HashAggregate"] >= 2 and _shuffles(n) == 1
+    ),
+}
+
+
+def _bench_headline() -> list[str]:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.HEADLINE
+
+
+def test_plan_expectations_cover_the_bench_suite():
+    """Adding a bench query without a plan snapshot must fail here."""
+    assert set(_bench_headline()) == set(_BENCH_PLAN_EXPECT)
+
+
+@pytest.mark.parametrize("name", sorted(_BENCH_PLAN_EXPECT))
+def test_bench_query_plan_shape(spark, name):
+    plan = _plan(spark, name)
+    nodes = _nodes(plan)
+    assert nodes["CartesianProduct"] == 0, f"{name}: cartesian product in plan"
+    assert _BENCH_PLAN_EXPECT[name](plan, nodes), f"{name} plan shape:\n{nodes}"
