@@ -79,7 +79,7 @@ def test_interchange_with_javax_imageio(spark):
     assert psnr >= 40.0, psnr
 
 
-def _imageio_encode(jvm, px, quality=None):
+def _imageio_encode(jvm, px, quality=None, progressive=False):
     h, w = px.shape[:2]
     img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
     for y in range(h):
@@ -87,13 +87,16 @@ def _imageio_encode(jvm, px, quality=None):
             r, g, b = (int(v) for v in px[y, x])
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
     baos = jvm.java.io.ByteArrayOutputStream()
-    if quality is None:
+    if quality is None and not progressive:
         assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
         return bytes(baos.toByteArray())
     writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     params = writer.getDefaultWriteParam()
-    params.setCompressionMode(2)  # MODE_EXPLICIT
-    params.setCompressionQuality(float(quality))
+    if progressive:
+        params.setProgressiveMode(1)  # MODE_DEFAULT
+    if quality is not None:
+        params.setCompressionMode(2)  # MODE_EXPLICIT
+        params.setCompressionQuality(float(quality))
     out = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
     writer.setOutput(out)
     writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), params)
@@ -131,6 +134,55 @@ def test_external_encoder_decodes(spark):
     dec = J.jpeg_decode(data)
     assert dec.shape == px.shape
     assert IMG.psnr(px, dec) >= 25.0  # external quality setting unknown
+
+
+def test_external_progressive_decodes(spark):
+    """Progressive (SOF2) cross-validation: javax.imageio's progressive
+    mode emits real multi-scan streams (spectral selection + successive
+    approximation); decode must reconstruct them — most JPEGs on the
+    open web a crawler actually fetches are progressive."""
+    jvm = spark._jvm
+    px = IMG.synth_pixels("ext-prog")
+    data = _imageio_encode(jvm, px, quality=0.9, progressive=True)
+    assert b"\xff\xc2" in data, "imageio did not emit SOF2"
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape
+    assert IMG.psnr(px, dec) >= 35.0
+    assert np.array_equal(J.jpeg_decode(data), dec)  # bit-deterministic
+
+
+def test_external_progressive_subsampled_decodes(spark):
+    """The hardest external shape: progressive AND 4:2:0 in one stream
+    (low-quality imageio output) — multi-scan chroma bands on the
+    MCU-padded subsampled grid."""
+    jvm = spark._jvm
+    px = IMG.synth_pixels("ext-prog-420")
+    data = _imageio_encode(jvm, px, quality=0.4, progressive=True)
+    assert b"\xff\xc2" in data
+    assert _sof0_sampling_any(data) != (1, 1), "expected subsampling at q0.4"
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape
+    assert IMG.psnr(px, dec) >= 25.0
+
+
+def _sof0_sampling_any(data):
+    """(h, v) of the first component of SOF0 OR SOF2."""
+    import struct
+
+    pos = 2
+    while pos < len(data):
+        while data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker in (0xC0, 0xC2):
+            hv = data[pos + 2 + 7]
+            return hv >> 4, hv & 0xF
+        pos += seg_len
+    raise AssertionError("no SOF")
 
 
 def test_external_subsampled_420_decodes(spark):

@@ -417,10 +417,12 @@ def jpeg_encode(pixels: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Slice the entropy-coded stream starting at ``pos`` into restart
     segments with byte stuffing removed — all vectorized, so the
-    per-symbol decode loop below never inspects markers."""
+    per-symbol decode loop below never inspects markers. Also returns
+    the absolute offset of the first real marker after the scan (where
+    the enclosing parse resumes — progressive streams hold many scans)."""
     arr = np.frombuffer(data, dtype=np.uint8)[pos:]
     ff = np.nonzero(arr[:-1] == 0xFF)[0]
     nxt = arr[ff + 1]
@@ -436,7 +438,7 @@ def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
         pad = np.nonzero(seg[:-1] == 0xFF)[0] + 1  # the stuffed 0x00s
         pad = pad[seg[pad] == 0x00]
         segs.append(np.delete(seg, pad).tobytes() if len(pad) else seg.tobytes())
-    return segs
+    return segs, pos + end
 
 
 class _FastBits:
@@ -501,8 +503,9 @@ def _extend(v: int, s: int) -> int:
 def jpeg_decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> RGB8 HxWx3 (or HxWx3 replicated gray).
 
-    Baseline sequential, including MCU-interleaved subsampled chroma
-    (4:2:0 / 4:2:2 / 4:4:0); progressive (SOF2) raises
+    Baseline sequential (SOF0) and progressive (SOF2), both including
+    MCU-interleaved subsampled chroma (4:2:0 / 4:2:2 / 4:4:0);
+    hierarchical/lossless/arithmetic variants raise
     NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (no SOI)"
     pos = 2
@@ -511,6 +514,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    prog: dict | None = None  # progressive coefficient state across scans
     while pos < len(data):
         assert data[pos] == 0xFF, f"bad marker sync at {pos}"
         while data[pos + 1] == 0xFF:  # optional fill bytes before a marker
@@ -550,7 +555,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = payload[0]
             assert precision == 8, "only 8-bit precision"
             h, w = struct.unpack(">HH", payload[1:5])
@@ -570,25 +576,48 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         f"non-integer upsampling ratio for sampling {c['h']}x{c['v']}"
                     )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) DCT supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             ns = payload[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan baseline (ns < nf) not supported"
-                )
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "multi-scan baseline (ns < nf) not supported"
+                    )
+                for si in range(ns):
+                    cid, tt = payload[1 + 2 * si : 3 + 2 * si]
+                    for c in comps:
+                        if c["id"] == cid:
+                            c["dc"] = htables[(0, tt >> 4)]
+                            c["ac"] = htables[(1, tt & 0xF)]
+                pos += seg_len
+                return _decode_scan(data, pos, h, w, comps, qtables, restart_interval)
+            if prog is None:
+                prog = _init_progressive(comps, h, w)
+            scan = []
             for si in range(ns):
                 cid, tt = payload[1 + 2 * si : 3 + 2 * si]
-                for c in comps:
-                    if c["id"] == cid:
-                        c["dc"] = htables[(0, tt >> 4)]
-                        c["ac"] = htables[(1, tt & 0xF)]
-            pos += seg_len
-            return _decode_scan(data, pos, h, w, comps, qtables, restart_interval)
+                (c,) = [c for c in comps if c["id"] == cid]
+                # tables looked up lazily per scan kind: a DC-only scan
+                # carries no (valid) AC table id and vice versa
+                scan.append((c, htables.get((0, tt >> 4)), htables.get((1, tt & 0xF))))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahl = payload[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + seg_len, prog, scan, ss, se, ahl >> 4, ahl & 0xF,
+                restart_interval,
+            )
+            continue
         pos += seg_len
+    if prog is not None:
+        return _reconstruct(
+            prog["comps"], prog["coeff"], qtables, h, w, prog["hmax"], prog["vmax"]
+        )
     raise ValueError("no SOS segment found")
 
 
@@ -615,7 +644,7 @@ def _decode_scan(data, pos, h, w, comps, qtables, restart_interval) -> np.ndarra
         c["bw"] = mcx * c["h"]
         c["bh"] = mcy * c["v"]
     coeff = [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64) for c in comps]
-    segs = _split_entropy_segments(data, pos)
+    segs, _ = _split_entropy_segments(data, pos)
     seg_i = 0
     br = _FastBits(segs[0])
     prev_dc = [0] * ncomp
@@ -654,7 +683,199 @@ def _decode_scan(data, pos, h, w, comps, qtables, restart_interval) -> np.ndarra
                         size = sym & 0xF
                         zz[k] = _extend(br.bits(size), size)
                         k += 1
-    # dequantize (zigzag domain), reorder, IDCT, upsample, crop
+    return _reconstruct(comps, coeff, qtables, h, w, hmax, vmax)
+
+
+def _init_progressive(comps: list[dict], h: int, w: int) -> dict:
+    """Coefficient storage shared by all of a progressive stream's
+    scans: MCU-padded block grids per component (interleaved DC scans
+    walk the padded grid) plus the used sub-grid dims (non-interleaved
+    scans cover only blocks holding real samples, T.81 A.2.2)."""
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    for ci, c in enumerate(comps):
+        c["ci"] = ci
+        c["bw"] = mcx * c["h"]
+        c["bh"] = mcy * c["v"]
+        comp_w = (w * c["h"] + hmax - 1) // hmax
+        comp_h = (h * c["v"] + vmax - 1) // vmax
+        c["ubw"] = (comp_w + 7) // 8
+        c["ubh"] = (comp_h + 7) // 8
+    return {
+        "comps": comps,
+        "coeff": [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64) for c in comps],
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcx": mcx,
+        "mcy": mcy,
+    }
+
+
+def _decode_dc_unit(br, dc_lut, zz, prev_dc, ci, ah, al):
+    """One block's DC contribution: first pass (ah == 0) decodes a
+    magnitude-coded diff at point transform al; refinement appends one
+    bit at position al."""
+    if ah == 0:
+        e = int(dc_lut[br.peek16()])
+        if e < 0:
+            raise ValueError("invalid Huffman code (progressive DC)")
+        br.skip(e & 31)
+        s = e >> 5
+        prev_dc[ci] += _extend(br.bits(s), s) if s else 0
+        zz[0] = prev_dc[ci] << al
+    elif br.bits(1):
+        zz[0] |= 1 << al
+
+
+def _refine_ac(br, ac_lut, zz, ss, se, p1, m1, eobrun) -> int:
+    """AC successive-approximation refinement for one block
+    (T.81 G.1.2.3): correction bits for already-nonzero coefficients,
+    at most one newly nonzero coefficient per run, EOB runs span
+    blocks. Returns the remaining EOB run."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            e = int(ac_lut[br.peek16()])
+            if e < 0:
+                raise ValueError("invalid Huffman code (AC refine)")
+            br.skip(e & 31)
+            sym = e >> 5
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                val = p1 if br.bits(1) else m1
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if br.bits(1) and (cur & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(zz[k])
+            if cur != 0:
+                if br.bits(1) and (cur & p1) == 0:
+                    zz[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    data, pos, prog, scan, ss, se, ah, al, restart_interval
+) -> int:
+    """One progressive scan (DC or AC band, first pass or refinement)
+    into ``prog['coeff']``; returns the offset of the next marker."""
+    coeff = prog["coeff"]
+    segs, end = _split_entropy_segments(data, pos)
+    state = {"seg": 0, "br": _FastBits(segs[0])}
+
+    def restart():
+        state["seg"] += 1
+        state["br"] = _FastBits(segs[state["seg"]])
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        prev_dc = [0] * len(prog["comps"])
+        if len(scan) > 1:  # interleaved, MCU order
+            if len(scan) != len(prog["comps"]):
+                raise NotImplementedError("partially interleaved DC scan")
+            mcx, mcy = prog["mcx"], prog["mcy"]
+            for mi in range(mcx * mcy):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    restart()
+                    prev_dc = [0] * len(prog["comps"])
+                my, mx = divmod(mi, mcx)
+                for c, dc_lut, _ in scan:
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            idx = (my * c["v"] + bv) * c["bw"] + mx * c["h"] + bh_
+                            _decode_dc_unit(
+                                state["br"], dc_lut, coeff[c["ci"]][idx],
+                                prev_dc, c["ci"], ah, al,
+                            )
+        else:  # single component, raster over used blocks
+            c, dc_lut, _ = scan[0]
+            bi = 0
+            for by in range(c["ubh"]):
+                for bx in range(c["ubw"]):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        restart()
+                        prev_dc = [0] * len(prog["comps"])
+                    _decode_dc_unit(
+                        state["br"], dc_lut, coeff[c["ci"]][by * c["bw"] + bx],
+                        prev_dc, c["ci"], ah, al,
+                    )
+                    bi += 1
+        return end
+
+    # AC scan: always one component (T.81 B.2.3)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan is illegal")
+    c, _, ac_lut = scan[0]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    bi = 0
+    for by in range(c["ubh"]):
+        for bx in range(c["ubw"]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                restart()
+                eobrun = 0
+            br = state["br"]
+            zz = coeff[c["ci"]][by * c["bw"] + bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        e = int(ac_lut[br.peek16()])
+                        if e < 0:
+                            raise ValueError("invalid Huffman code (progressive AC)")
+                        br.skip(e & 31)
+                        sym = e >> 5
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC coefficient index overflow")
+                        zz[k] = _extend(br.bits(s), s) << al
+                        k += 1
+            else:
+                eobrun = _refine_ac(br, ac_lut, zz, ss, se, p1, m1, eobrun)
+            bi += 1
+    return end
+
+
+def _reconstruct(comps, coeff, qtables, h, w, hmax, vmax) -> np.ndarray:
+    """Shared tail of baseline and progressive decode: dequantize
+    (zigzag domain), reorder, IDCT, upsample subsampled planes, crop."""
     planes = []
     for ci, c in enumerate(comps):
         q = qtables[c["tq"]][_ZZ]  # zigzag-ordered steps
@@ -666,7 +887,7 @@ def _decode_scan(data, pos, h, w, comps, qtables, restart_interval) -> np.ndarra
         if sy > 1 or sx > 1:
             plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
         planes.append(plane[:h, :w])
-    if ncomp == 1:
+    if len(comps) == 1:
         g = planes[0].astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     ycc = np.stack(planes, axis=-1).astype(np.uint8)
