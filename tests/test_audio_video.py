@@ -125,6 +125,33 @@ def test_video_frame_sampler(spark):
     assert px.ndim == 3 and px.shape[2] == 3
 
 
+def test_video_corpus_mixes_containers_and_gif_is_lossless(spark):
+    """The video corpus carries BOTH real containers; GIF-sampled
+    frames are bit-equal to the synthetic source frames (GIF is
+    lossless at <= 256 colors) with GCE-delay timestamps."""
+    from vbpl_web_crawl_spark.sources import gif as G
+    from vbpl_web_crawl_spark.sources import images as IMG
+
+    videos = synth_video_corpus(spark, 16, partitions=2)
+    fmts = {r.fmt for r in videos.select("fmt").distinct().collect()}
+    assert fmts == {"avi-mjpeg", "gif"}
+    gif_vids = videos.filter(F.col("fmt") == "gif")
+    one = gif_vids.limit(1).collect()[0]
+    sampled = (
+        sample_frames(gif_vids, stride=4)
+        .filter(F.col("video_id") == one.video_id)
+        .orderBy("frame_no")
+        .collect()
+    )
+    want = G.synth_gif_frames(one.video_id, one.n_frames)
+    assert len(sampled) == (one.n_frames + 3) // 4
+    for row in sampled:
+        assert np.array_equal(
+            IMG.png_decode(bytes(row.frame_png)), want[row.frame_no]
+        )
+        assert row.ts_s == pytest.approx(row.frame_no * 0.25)  # 25 cs GCE
+
+
 def test_video_real_container_states_boundary(spark):
     videos = synth_video_corpus(spark, 2, partitions=1).withColumn(
         "fmt", F.lit("mp4")

@@ -194,14 +194,22 @@ def synth_video_corpus(spark: SparkSession, n: int, partitions: int = 8) -> Data
     standard demuxer reads them), built in Arrow batches on executors."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vbpl_web_crawl_spark.sources.gif import synth_gif_video_record
         from vbpl_web_crawl_spark.sources.images import splitmix64
         from vbpl_web_crawl_spark.sources.video import synth_video_record
 
         for pdf in it:
             rows = []
             for i in pdf["id"]:
-                n_frames = 8 + int(splitmix64(int(i))) % 25
-                rows.append(synth_video_record(f"vid{int(i):08d}", n_frames))
+                seed = int(splitmix64(int(i)))
+                n_frames = 8 + seed % 25
+                # ~25% animated GIF (second real container), rest AVI-MJPEG
+                if (seed // 31) % 4 == 0:
+                    rows.append(
+                        synth_gif_video_record(f"vid{int(i):08d}", n_frames)
+                    )
+                else:
+                    rows.append(synth_video_record(f"vid{int(i):08d}", n_frames))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
     return spark.range(n).repartition(partitions).mapInPandas(gen, VIDEO_SCHEMA)
@@ -220,36 +228,52 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(videos: DataFrame, stride: int = 4) -> DataFrame:
     """Every stride-th frame of each video as a PNG binary row — the
-    frame-sampling stage of a video training pipeline. AVI-MJPEG is
-    demuxed for real (sources/video.py); the demux walks chunk headers
-    and decodes only the sampled frames' JPEG payloads. Inter-frame
-    codecs (mp4/webm) need ffmpeg and raise the documented boundary."""
+    frame-sampling stage of a video training pipeline. Two real
+    containers: AVI-MJPEG (sources/video.py) is demuxed by chunk
+    headers and decodes only the sampled frames' JPEG payloads;
+    animated GIF (sources/gif.py) decodes all frames because GIF frames
+    composite onto the previous canvas (format-inherent, not a sampler
+    shortcut) and timestamps come from the per-frame GCE delays.
+    Inter-frame codecs (mp4/webm) need ffmpeg and raise the documented
+    boundary."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from vbpl_web_crawl_spark.sources import images as IMG
         from vbpl_web_crawl_spark.sources import jpeg as J
+        from vbpl_web_crawl_spark.sources.gif import gif_decode_frames
         from vbpl_web_crawl_spark.sources.video import avi_mjpeg_demux
+
+        def emit(rows, r, f_no, px, ts_s):
+            rows.append(
+                {
+                    "video_id": r.video_id,
+                    "frame_no": f_no,
+                    "ts_s": ts_s,
+                    "frame_png": IMG.png_encode(px),
+                    "mean_luma": float(px.astype("float64").mean()),
+                }
+            )
 
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.fmt != "avi-mjpeg":
+                if r.fmt == "avi-mjpeg":
+                    frames, fps, _, _ = avi_mjpeg_demux(bytes(r.bytes))
+                    fps = fps or r.fps
+                    for f_no in range(0, len(frames), stride):
+                        emit(rows, r, f_no, J.jpeg_decode(frames[f_no]), f_no / fps)
+                elif r.fmt == "gif":
+                    frames, delays, _ = gif_decode_frames(bytes(r.bytes))
+                    ts = [0.0]
+                    for d in delays[:-1]:
+                        ts.append(ts[-1] + d / 100.0)
+                    for f_no in range(0, len(frames), stride):
+                        emit(rows, r, f_no, frames[f_no], ts[f_no])
+                else:
                     raise NotImplementedError(
                         f"video container {r.fmt!r}: inter-frame decode needs "
-                        "ffmpeg — register it here; AVI-MJPEG demuxes natively"
-                    )
-                frames, fps, _, _ = avi_mjpeg_demux(bytes(r.bytes))
-                fps = fps or r.fps
-                for f_no in range(0, len(frames), stride):
-                    px = J.jpeg_decode(frames[f_no])
-                    rows.append(
-                        {
-                            "video_id": r.video_id,
-                            "frame_no": f_no,
-                            "ts_s": f_no / fps,
-                            "frame_png": IMG.png_encode(px),
-                            "mean_luma": float(px.astype("float64").mean()),
-                        }
+                        "ffmpeg — register it here; AVI-MJPEG and animated "
+                        "GIF demux natively"
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 

@@ -184,11 +184,19 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 
 def _register_builtins() -> None:
+    from vbpl_web_crawl_spark.sources import gif as _gif
     from vbpl_web_crawl_spark.sources import jpeg as _jpeg
 
     register_codec("png", png_encode, png_decode)
     register_codec("vdct", vdct_encode, vdct_decode)
     register_codec("jpeg", _jpeg.jpeg_encode, _jpeg.jpeg_decode)
+    # GIF: lossless for <= 256 unique colors, deterministic median-cut
+    # quantization above (the format's own palette limit)
+    register_codec(
+        "gif",
+        lambda px: _gif.gif_encode(px, quantize=True),
+        _gif.gif_decode,
+    )
 
 
 _register_builtins()
