@@ -38,6 +38,103 @@ def test_wav_non_pcm_raises():
         AUD.wav_decode(bytes(data))
 
 
+def test_ulaw_canonical_roundtrip_and_snr():
+    """G.711 mu-law: encode(decode(b)) == b (canonical coder) and
+    decode(encode(x)) reconstructs at >= 30 dB SNR on speech-level
+    signals; WAV container carries fmt tag 7 + fact chunk."""
+    s = AUD.synth_samples("ulaw")
+    b = AUD.ulaw_encode(s)
+    dec = AUD.ulaw_decode(b)
+    assert np.array_equal(AUD.ulaw_encode(dec), b)
+    snr = 10 * np.log10(
+        float((s.astype(float) ** 2).mean())
+        / float(((s - dec).astype(float) ** 2).mean())
+    )
+    assert snr >= 30.0, snr
+    wav = AUD.wav_encode_ulaw(s, AUD.SAMPLE_RATE)
+    assert wav[20:22] == b"\x07\x00" and b"fact" in wav[:64]
+    got, rate = AUD.wav_decode(wav)
+    assert rate == AUD.SAMPLE_RATE and np.array_equal(got[:, 0], dec)
+    assert AUD.wav_encode_ulaw(s, AUD.SAMPLE_RATE) == wav  # bit-stable
+
+
+def test_adpcm_roundtrip_snr_blocks_and_ratio():
+    """IMA ADPCM: ~4:1 compression, >= 22 dB SNR, exact sample count
+    through multi-block streams with a partial final block (fact-chunk
+    truncation), deterministic bytes, and byte-exact re-encode of its
+    own reconstruction."""
+    for aid in ("adp-a", "adp-b"):
+        s = AUD.synth_samples(aid)[:3001]  # force partial final block
+        wav = AUD.wav_encode_adpcm(s, AUD.SAMPLE_RATE)
+        assert wav[20:22] == b"\x11\x00"
+        dec, rate = AUD.wav_decode(wav)
+        assert rate == AUD.SAMPLE_RATE and dec.shape == (3001, 1)
+        snr = 10 * np.log10(
+            float((s.astype(float) ** 2).mean())
+            / float(((s.astype(float) - dec[:, 0].astype(float)) ** 2).mean())
+        )
+        assert snr >= 20.0, (aid, snr)  # IMA is weakest on the 2.4-2.8 kHz tone
+        assert len(wav) < 2 * len(s) * 0.3  # ~4:1 vs PCM16
+        assert AUD.wav_encode_adpcm(s, AUD.SAMPLE_RATE) == wav
+        assert AUD.wav_encode_adpcm(dec[:, 0].copy(), AUD.SAMPLE_RATE) == wav
+
+
+def test_audio_corpus_mixes_formats(spark):
+    videos = synth_audio_corpus(spark, 24, partitions=2)
+    fmts = {r.fmt for r in videos.select("fmt").distinct().collect()}
+    assert fmts == {"wav", "ulaw", "adpcm"}
+
+
+def test_ulaw_interchange_with_javax_sound(spark):
+    """Both directions against the JVM's javax.sound.sampled (an
+    independent G.711 implementation): its PCM conversion of OUR
+    mu-law WAV is sample-exact, and OUR decode of a mu-law WAV IT
+    writes matches its own decode sample-exactly."""
+    jvm = spark._jvm
+    Enc = jvm.javax.sound.sampled.AudioFormat.Encoding
+    ASys = jvm.javax.sound.sampled.AudioSystem
+    pcm_fmt = jvm.javax.sound.sampled.AudioFormat(
+        Enc.PCM_SIGNED, 8000.0, 16, 1, 2, 8000.0, False
+    )
+
+    def java_pcm_of(wav_bytes: bytes) -> np.ndarray:
+        ais = ASys.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(wav_bytes))
+        )
+        pcm = ASys.getAudioInputStream(pcm_fmt, ais)
+        total = bytearray()
+        while True:
+            chunk = pcm.readNBytes(4096)
+            if chunk is None or len(chunk) == 0:
+                break
+            total += chunk
+        return np.frombuffer(bytes(total), dtype="<i2")
+
+    s = AUD.synth_samples("xval")[:600]
+    ours_wav = AUD.wav_encode_ulaw(s, 8000)
+    mine = AUD.ulaw_decode(AUD.ulaw_encode(s))
+    theirs = java_pcm_of(ours_wav)
+    assert np.array_equal(theirs[: len(mine)], mine)
+
+    # reverse: Java encodes PCM -> ULAW WAV; we decode it
+    pcm_bytes = s.astype("<i2").tobytes()
+    src = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(pcm_bytes)), pcm_fmt, len(s)
+    )
+    ulaw_fmt = jvm.javax.sound.sampled.AudioFormat(
+        Enc.ULAW, 8000.0, 8, 1, 1, 8000.0, False
+    )
+    conv = ASys.getAudioInputStream(ulaw_fmt, src)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    wave_t = jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE
+    ASys.write(conv, wave_t, baos)
+    jwav = bytes(baos.toByteArray())
+    ours, rate = AUD.wav_decode(jwav)
+    assert rate == 8000
+    want = java_pcm_of(jwav)
+    assert np.array_equal(ours[: len(want), 0], want)
+
+
 def test_feature_sanity_dominant_frequency():
     # pure 440 Hz tone -> dominant bin within one bin of 440
     sr = AUD.SAMPLE_RATE

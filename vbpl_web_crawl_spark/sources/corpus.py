@@ -136,10 +136,12 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def audio_feature_table(corpus: DataFrame) -> DataFrame:
-    """Decode WAV bytes and extract features (RMS, zero-crossing rate,
-    peak, dominant rFFT bin) — one whole-array numpy pass per file
-    inside Arrow batches; ``roundtrip_exact`` re-encodes and compares
-    bytes (WAV PCM16 is lossless, so this is a per-row invariant)."""
+    """Decode WAV bytes (PCM16 / mu-law / IMA ADPCM dispatch inside
+    wav_decode) and extract features (RMS, zero-crossing rate, peak,
+    dominant rFFT bin) — one whole-array numpy pass per file inside
+    Arrow batches; ``roundtrip_exact`` re-encodes the decoded samples
+    in the row's own format and compares bytes (exact for all three
+    variants — see audio.reencode)."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from vbpl_web_crawl_spark.sources import audio as AUD
@@ -158,7 +160,7 @@ def audio_feature_table(corpus: DataFrame) -> DataFrame:
                         "zcr": feats["zcr"],
                         "peak": feats["peak"],
                         "dominant_freq_hz": feats["dominant_freq_hz"],
-                        "roundtrip_exact": AUD.wav_encode(samples, rate)
+                        "roundtrip_exact": AUD.reencode(samples, rate, r.fmt)
                         == bytes(r.bytes),
                     }
                 )
