@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact_clusters",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_verified_pairs",
+    "dedup_winnowing_pairs",
     "fingerprint_simhash",
     "text_stats_by_lang",
     "ann_cosine_topk",

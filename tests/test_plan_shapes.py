@@ -127,6 +127,13 @@ _BENCH_PLAN_EXPECT = {
         n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
         and n["BroadcastNestedLoopJoin"] == 0
     ),
+    "dedup_winnowing_pairs": lambda p, n: (
+        # per-doc window min, then DF-capped fp equi-self-join: hash
+        # joins only, never a nested-loop over doc pairs
+        n["Window"] >= 1
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 2
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
     "fingerprint_simhash": lambda p, n: n["HashAggregate"] >= 2,
     "text_stats_by_lang": lambda p, n: (
         n["HashAggregate"] >= 2 and _shuffles(n) == 1

@@ -1097,3 +1097,153 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy(bucket.cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+# 2003 — the MOSS algorithm): char k-gram rolling hashes, then in every
+# window of w consecutive grams select the rightmost minimal hash. The
+# selected density is ~2/(w+1) regardless of document length, and any
+# shared substring of length >= k + w - 1 is GUARANTEED to share a
+# fingerprint — the property that makes it the standard plagiarism /
+# near-dup detector.
+#
+# Engine/oracle parity trick (same as the minhash md5 path): the gram
+# hash is substr(md5(gram), 1, 8), identical hex in Spark and DuckDB;
+# the rightmost-tie rule is encoded in the ORDER KEY ITSELF —
+# key = hash || lpad(10^9 - pos) — so "min key over the window" IS
+# "rightmost minimal hash" with no engine-specific argmin semantics.
+#
+# 100 TB: grams explode ~L rows/doc but reduce to ~2L/(w+1) distinct
+# fingerprints inside the same stage (window agg partitioned by doc_id
+# — one shuffle on the 8-byte-ish doc key, no global state). The pairs
+# join is DF-capped like the shingle path, so candidates stay
+# O(docs * cap) even when boilerplate substrings are corpus-wide.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # gram length (chars)
+WINNOW_W = 16  # window: guarantee threshold t = k + w - 1 = 23 chars
+WINNOW_DF_CAP = 5
+
+_WINNOW_FPS_SQL = f"""
+  SELECT DISTINCT doc_id, substr(win_key, 1, 8) AS fp FROM (
+    SELECT doc_id, pos, n_grams,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+             AS win_key
+    FROM (
+      SELECT doc_id, pos, n_grams,
+             substr(md5(substring(body, pos, {WINNOW_K})), 1, 8)
+               || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key
+      FROM (
+        SELECT doc_id, lower(text) AS body,
+               length(text) - {WINNOW_K - 1} AS n_grams,
+               unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS pos
+        FROM documents
+        WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+      )
+    )
+  ) WHERE pos <= n_grams - {WINNOW_W - 1}
+"""
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint rows (Catalyst-only: explode
+    positions, md5 gram hash, per-doc window min with the rightmost-tie
+    key, distinct)."""
+    from pyspark.sql import Window
+
+    k, w = WINNOW_K, WINNOW_W
+    grams = (
+        docs.filter(F.length("text") >= k + w - 1)
+        .select(
+            "doc_id",
+            F.lower(F.col("text")).alias("body"),
+            (F.length("text") - F.lit(k - 1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "body",
+            "n_grams",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.concat(
+                F.substring(F.md5(F.expr(f"substring(body, pos, {k})")), 1, 8),
+                F.lpad((F.lit(999999999) - F.col("pos")).cast("string"), 9, "0"),
+            ).alias("key"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("win_key", F.min("key").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - F.lit(w - 1))
+        .select("doc_id", F.substring("win_key", 1, 8).alias("fp"))
+        .distinct()
+    )
+
+
+@_register(
+    "fingerprint_winnowing",
+    f"""
+WITH fps AS ({_WINNOW_FPS_SQL})
+SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (density ~2/(w+1))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+@_register(
+    "dedup_winnowing_pairs",
+    f"""
+WITH fps AS ({_WINNOW_FPS_SQL}),
+capped AS (
+  SELECT f.doc_id, f.fp
+  FROM fps f
+  JOIN (SELECT fp, count(*) AS df FROM fps GROUP BY fp) d ON f.fp = d.fp
+  WHERE d.df <= {WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+""",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs sharing >= 3 winnowing fingerprints;
+    hot fingerprints (df > cap) dropped before the self-join so the
+    candidate volume is O(docs * cap), mirroring the shingle path."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    capped = fps.join(ok, "fp")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
