@@ -184,6 +184,7 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 
 def _register_builtins() -> None:
+    from vbpl_web_crawl_spark.sources import bmp as _bmp
     from vbpl_web_crawl_spark.sources import gif as _gif
     from vbpl_web_crawl_spark.sources import jpeg as _jpeg
 
@@ -197,6 +198,7 @@ def _register_builtins() -> None:
         lambda px: _gif.gif_encode(px, quantize=True),
         _gif.gif_decode,
     )
+    register_codec("bmp", _bmp.bmp_encode, _bmp.bmp_decode)
 
 
 _register_builtins()
