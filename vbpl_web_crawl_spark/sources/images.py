@@ -199,6 +199,9 @@ def _register_builtins() -> None:
         _gif.gif_decode,
     )
     register_codec("bmp", _bmp.bmp_encode, _bmp.bmp_decode)
+    from vbpl_web_crawl_spark.sources import tiff as _tiff
+
+    register_codec("tiff", _tiff.tiff_encode, _tiff.tiff_decode)
 
 
 _register_builtins()
