@@ -248,3 +248,96 @@ def test_image_record_invariants_any_id(image_id):
     assert IMG.phash64(dec) == rec["phash"]
     # determinism
     assert IMG.synth_image_record(image_id)["bytes"] == rec["bytes"]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 codecs: GIF / BMP / TIFF / mu-law / ADPCM under hypothesis
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    ncol=st.integers(min_value=2, max_value=256),
+)
+def test_gif_lossless_any_palette_image(seed, h, w, ncol):
+    """GIF must roundtrip bit-exact on ANY image with <= 256 unique
+    colors, at any (odd) dimensions."""
+    from vbpl_web_crawl_spark.sources import gif as G
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+    px = pal[rng.integers(0, ncol, (h, w))]
+    data = G.gif_encode(px)
+    assert np.array_equal(G.gif_decode(data), px)
+    ilaced = G.gif_encode(px, interlace=True)
+    assert np.array_equal(G.gif_decode(ilaced), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+)
+def test_bmp_tiff_lossless_any_image(seed, h, w):
+    """BMP and TIFF are lossless for every truecolor image at every
+    dimension (all row-padding phases, partial final TIFF strip)."""
+    from vbpl_web_crawl_spark.sources import bmp as B
+    from vbpl_web_crawl_spark.sources import tiff as TF
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(B.bmp_decode(B.bmp_encode(px)), px)
+    assert np.array_equal(TF.tiff_decode(TF.tiff_encode(px, rows_per_strip=7)), px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=5000))
+def test_lzw_variants_roundtrip_any_bytes(data):
+    """Both LZW dialects (GIF LSB-first / TIFF MSB-first early-change)
+    must roundtrip arbitrary byte strings."""
+    from vbpl_web_crawl_spark.sources import gif as G
+    from vbpl_web_crawl_spark.sources import tiff as TF
+
+    assert G._lzw_decode(G._lzw_encode(data, 8), 8) == data
+    assert TF._tiff_lzw_decode(TF._tiff_lzw_encode(data)) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=4000
+    )
+)
+def test_ulaw_canonical_any_samples(vals):
+    """encode(decode(encode(x))) == encode(x) for every int16 signal
+    (the negative-zero canonicalization makes the coder idempotent)."""
+    from vbpl_web_crawl_spark.sources import audio as AUD
+
+    s = np.array(vals, dtype=np.int16)
+    b = AUD.ulaw_encode(s)
+    dec = AUD.ulaw_decode(b)
+    assert np.array_equal(AUD.ulaw_encode(dec), b)
+    assert np.abs(dec.astype(np.int32) - s.astype(np.int32)).max() <= 1024  # 8*2^7
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=3000
+    )
+)
+def test_adpcm_length_exact_and_stable(vals):
+    """IMA ADPCM: decoded length equals input length for every size
+    (fact-chunk truncation across partial blocks) and re-encoding the
+    reconstruction is byte-stable."""
+    from vbpl_web_crawl_spark.sources import audio as AUD
+
+    s = np.array(vals, dtype=np.int16)
+    wav = AUD.wav_encode_adpcm(s, 8000)
+    dec, rate = AUD.wav_decode(wav)
+    assert rate == 8000 and dec.shape == (len(s), 1)
+    assert AUD.wav_encode_adpcm(dec[:, 0].copy(), 8000) == wav
