@@ -504,3 +504,80 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("video_id")
     )
+
+
+@_register("codec_matrix_stats", None)
+def q_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every registered image codec through the distributed decode path
+    (X3 registry coverage gate): 8 deterministic synthetic scans per
+    format, encode -> decode -> PSNR vs source + phash recomputation,
+    inside Arrow batches on executors. One row per format; lossless
+    formats must be bit-exact, lossy ones >= 40 dB (the north_rule
+    per-row invariant)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("n_lossless", T.LongType(), False),
+            T.StructField("n_psnr_ge_40", T.LongType(), False),
+            T.StructField("n_phash_stable", T.LongType(), False),
+        ]
+    )
+
+    def run(it):
+        from vbpl_web_crawl_spark.sources import images as IMG
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fmt, i = r.fmt, int(r.i)
+                # 64x64 slice: the invariant is per-pixel, the cost is
+                # per-byte (pure-python LZW/Huffman loops) — keep the
+                # gate O(seconds); full-size paths are covered in tests
+                px = IMG.synth_pixels(f"cm-{fmt}-{i}")[:64, :64]
+                data = IMG.encode_image(px, fmt)
+                dec = IMG.decode_image(data, fmt)
+                psnr = IMG.psnr(px, dec)
+                rows.append(
+                    {
+                        "fmt": fmt,
+                        "lossless": bool((dec == px).all()),
+                        "ge40": bool(psnr >= 40.0),
+                        "phash_stable": IMG.phash64(dec)
+                        == IMG.phash64(IMG.decode_image(data, fmt)),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            yield (
+                out.groupby("fmt", as_index=False)
+                .agg(
+                    n=("fmt", "size"),
+                    n_lossless=("lossless", "sum"),
+                    n_psnr_ge_40=("ge40", "sum"),
+                    n_phash_stable=("phash_stable", "sum"),
+                )
+                .astype({"n": "int64", "n_lossless": "int64",
+                         "n_psnr_ge_40": "int64", "n_phash_stable": "int64"})
+            )
+
+    from vbpl_web_crawl_spark.sources.images import registered_formats
+
+    fmts = list(registered_formats())
+    base = spark.createDataFrame(
+        [(f, i) for f in fmts for i in range(8)], "fmt string, i int"
+    ).repartition(len(fmts), "fmt")
+    part = base.mapInPandas(run, schema)
+    # second-level agg: partitions may split a fmt across batches
+    return (
+        part.groupBy("fmt")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_lossless").alias("n_lossless"),
+            F.sum("n_psnr_ge_40").alias("n_psnr_ge_40"),
+            F.sum("n_phash_stable").alias("n_phash_stable"),
+        )
+        .orderBy("fmt")
+    )

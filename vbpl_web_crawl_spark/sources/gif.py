@@ -302,29 +302,31 @@ def median_cut_palette(pixels: np.ndarray, max_colors: int = 256) -> np.ndarray:
     cols = np.stack(
         [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
     )
-    boxes = [(cols, counts)]
+    def box(c, n):
+        # spread cached at creation: each split is O(box), not O(all boxes)
+        spread = int((c.max(axis=0) - c.min(axis=0)).max()) if len(c) > 1 else -1
+        return (spread, c, n)
+
+    boxes = [box(cols, counts)]
     while len(boxes) < max_colors:
         widest, bi = -1, -1
-        for i, (c, _) in enumerate(boxes):
-            if len(c) < 2:
-                continue
-            spread = int((c.max(axis=0) - c.min(axis=0)).max())
+        for i, (spread, _, _) in enumerate(boxes):
             if spread > widest:
                 widest, bi = spread, i
         if bi < 0:
             break
-        c, n = boxes.pop(bi)
+        _, c, n = boxes.pop(bi)
         ch = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         order = np.argsort(c[:, ch], kind="stable")
         c, n = c[order], n[order]
         half = np.searchsorted(np.cumsum(n), n.sum() / 2.0, side="right")
         half = min(max(half, 1), len(c) - 1)
-        boxes.append((c[:half], n[:half]))
-        boxes.append((c[half:], n[half:]))
+        boxes.append(box(c[:half], n[:half]))
+        boxes.append(box(c[half:], n[half:]))
     pal = np.array(
         [
             np.round((c * n[:, None]).sum(axis=0) / n.sum())
-            for c, n in boxes
+            for _, c, n in boxes
         ],
         dtype=np.uint8,
     )
@@ -344,7 +346,12 @@ def _map_to_palette(pixels: np.ndarray, pal: np.ndarray) -> np.ndarray:
     cols = np.stack(
         [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
     )
-    d = ((cols[:, None, :] - pal[None, :, :].astype(np.int64)) ** 2).sum(axis=2)
+    # argmin of |c-p|^2 == argmin of -2c.p + |p|^2 (|c|^2 is constant per
+    # row). float32 matmul is exact here — every partial is an integer
+    # < 2^24 — so the result is bit-deterministic regardless of BLAS.
+    colsf = cols.astype(np.float32)
+    palf = pal.astype(np.float32)
+    d = colsf @ (-2.0 * palf.T) + (palf * palf).sum(axis=1)[None, :]
     nearest = d.argmin(axis=1).astype(np.uint8)
     return nearest[inv].reshape(pixels.shape[:2])
 
