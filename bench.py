@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_verified_pairs",
     "dedup_winnowing_pairs",
+    "asof_join_purchase_to_prior_view",
+    "range_join_views_in_purchase_windows",
+    "sessionize_events_gap",
     "fingerprint_simhash",
     "text_stats_by_lang",
     "ann_cosine_topk",

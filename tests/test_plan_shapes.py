@@ -134,6 +134,22 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 2
         and n["BroadcastNestedLoopJoin"] == 0
     ),
+    "asof_join_purchase_to_prior_view": lambda p, n: (
+        # union + per-key window carry: NO join node, one real shuffle
+        n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"]
+        + n["BroadcastNestedLoopJoin"] == 0
+        and n["Window"] >= 1
+        and n["Union"] == 1
+    ),
+    "range_join_views_in_purchase_windows": lambda p, n: (
+        # interval binning: the inequality runs as an EQUI-join
+        n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "sessionize_events_gap": lambda p, n: (
+        # lag + cumsum + groupBy all reuse one user_id partitioning
+        n["Window"] >= 1 and n["HashAggregate"] >= 1 and _shuffles(n) == 1
+    ),
     "fingerprint_simhash": lambda p, n: n["HashAggregate"] >= 2,
     "text_stats_by_lang": lambda p, n: (
         n["HashAggregate"] >= 2 and _shuffles(n) == 1

@@ -581,3 +581,158 @@ def q_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py) — the task brief's named
+# custom operators. All three are single-shuffle compositions of
+# built-in ops; the oracles are INDEPENDENT implementations (DuckDB's
+# native ASOF JOIN / plain inequality join / its own window engine).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "asof_join_purchase_to_prior_view",
+    """
+WITH v AS (
+  SELECT user_id, ts AS vts, max(event_id) AS view_event_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
+""",
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined as-of to the user's latest prior (or
+    simultaneous) view event. Engine: union + per-key window carry
+    (ONE shuffle, no inequality join); oracle: DuckDB's native ASOF
+    LEFT JOIN — two independent as-of implementations must agree."""
+    from vbpl_web_crawl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    return asof_join(
+        left,
+        right,
+        on="user_id",
+        left_time="ts",
+        right_time="vts",
+        right_cols=["view_event_id", "view_value"],
+    )
+
+
+@_register(
+    "range_join_views_in_purchase_windows",
+    """
+SELECT p.event_id AS purchase_id,
+       count(*) AS n_views,
+       min(v.event_id) AS first_view_id,
+       max(v.event_id) AS last_view_id
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'view') v
+  ON v.ts >= p.ts AND v.ts < p.ts + INTERVAL 2 HOUR
+GROUP BY 1
+""",
+)
+def q_range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View events landing in the 2-hour window after each purchase —
+    an UNKEYED interval join. Engine: bucket-binned equi-join
+    (operators/temporal.range_join_bucketed: intervals explode to the
+    <= 2 one-hour-x2 buckets they span, points hash to one bucket, so
+    the plan is a hash join, never BroadcastNestedLoop); oracle:
+    DuckDB's plain inequality join."""
+    from vbpl_web_crawl_spark.operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+    )
+    points = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts")
+    )
+    joined = range_join_bucketed(
+        points, windows, point_time="ts", start="w_start", end="w_end",
+        bucket_seconds=7200,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("view_id").alias("first_view_id"),
+        F.max("view_id").alias("last_view_id"),
+    )
+
+
+@_register(
+    "sessionize_events_gap",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag -> boundary flag -> running sum = session id, then per-session
+    aggregates. One shuffle on user_id; the groupBy reuses the
+    window's partitioning. Sub-second gaps compare as exact integer
+    microseconds on both engines (unix_timestamp would truncate)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds on both engines (a double epoch would
+    # round, and unix_timestamp truncates sub-second parts)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_epoch = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            lag_epoch.isNull() | ((epoch - lag_epoch) > 1800 * 1_000_000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+        "event_id",
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(cum).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
