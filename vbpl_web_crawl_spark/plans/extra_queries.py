@@ -736,3 +736,41 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@_register(
+    "zorder_key_buckets",
+    f"""
+WITH keyed AS (
+  SELECT ((((((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | ((((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) | ((((((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | ((((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) << 1)) AS z
+  FROM (SELECT (o_custkey & 65535) AS a,
+               (date_diff('day', DATE '1970-01-01', o_orderdate) & 65535) AS b
+        FROM orders)
+)
+SELECT CAST(z >> 17 AS BIGINT) AS z_bucket, count(*) AS n,
+       CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z
+FROM keyed GROUP BY 1
+""",
+)
+def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (custkey, order day) — the clustering
+    key OPTIMIZE ZORDER sorts by. Pure shift/or/and Catalyst
+    expression; the oracle runs the IDENTICAL doubling network in
+    DuckDB (zorder_sql), so any bit drift fails the hash."""
+    from vbpl_web_crawl_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    b = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    ).bitwiseAND(F.lit(65535))
+    z = zorder_key(a, b)
+    return (
+        orders.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 17).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )

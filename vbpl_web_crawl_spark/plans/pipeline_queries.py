@@ -1247,3 +1247,93 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data staples). The sampling key is a
+# lexicographic compare of md5-hex prefixes — identical text in both
+# engines, so the sample is reproducible everywhere, stable under
+# repartitioning, and needs no RNG state. 4 hex digits = 16-bit
+# resolution: rate r keeps keys < hex(round(r * 65536)).
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": "8000", "vi": "4000"}  # 50%, 25%
+_DEFAULT_RATE = "199a"  # ~10% for every other language
+
+
+@_register(
+    "stratified_sample_by_lang",
+    f"""
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (
+  SELECT lang, doc_id,
+         CASE lang
+           {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATA_RATES.items())}
+           ELSE '{_DEFAULT_RATE}' END AS thresh,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS key
+  FROM documents
+)
+WHERE key < thresh
+GROUP BY lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (data mixing for training sets):
+    keep a doc iff md5(doc_id)[:4] < the stratum's hex threshold.
+    Narrow scan (doc_id, lang only — no text), no shuffle before the
+    final count; rerunning at any partitioning yields the same set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    thresh = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_STRATA_RATES.items()):
+        thresh = F.when(F.col("lang") == k, F.lit(v)).otherwise(thresh)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        docs.filter(key < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@_register(
+    "train_val_test_split",
+    """
+SELECT split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (
+  SELECT doc_id,
+         CASE WHEN key < 'cccc' THEN 'train'
+              WHEN key < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS key
+        FROM documents)
+)
+GROUP BY split
+""",
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: a salted
+    md5-prefix key partitions documents into disjoint, reproducible,
+    repartition-stable splits (the salt decorrelates the split from
+    any sampling key built on the same ids)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    split = (
+        F.when(key < "cccc", F.lit("train"))
+        .when(key < "e666", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
