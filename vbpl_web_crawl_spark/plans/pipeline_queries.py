@@ -1337,3 +1337,51 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairs -> clusters: connected components over the verified near-dup
+# pair graph (operators/graph.py). The oracle is an independent
+# implementation: DuckDB WITH RECURSIVE transitive closure.
+# ---------------------------------------------------------------------------
+
+from vbpl_web_crawl_spark.plans.queries import ORACLES as _ORACLES  # noqa: E402
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_ORACLES["dedup_minhash_verified_pairs"]}) vp),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.u AS node, reach.r AS r FROM reach JOIN edges e ON e.v = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id, count(*) AS n_reachable
+FROM reach GROUP BY node
+"""
+
+
+@_register("dedup_connected_components", _CC_ORACLE)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse verified MinHash near-dup PAIRS into dedup CLUSTERS:
+    hash-min label propagation (operators/graph.py), one shuffle join
+    + one agg per round, driver-coordinated like MLlib iterations.
+    n_reachable (component closure size per node) rides along so the
+    gate checks the full component structure, not just labels."""
+    from vbpl_web_crawl_spark.operators.graph import connected_components
+    from vbpl_web_crawl_spark.plans.queries import QUERIES
+
+    pairs = QUERIES["dedup_minhash_verified_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    # component sizes: every node in a component reaches every other
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_reachable"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_id", "n_reachable"
+    )
