@@ -67,14 +67,14 @@ def test_gray_expands_to_rgb():
 def test_boundaries_fail_loud():
     px = I.synth_pixels("bound")[:8, :8]
     data = bytearray(TF.tiff_encode(px))
-    # flip the compression tag (259) value to Deflate (32946)
+    # flip the compression tag (259) value to JPEG-in-TIFF (7)
     bo_ifd = struct.unpack("<I", data[4:8])[0]
     (n,) = struct.unpack("<H", data[bo_ifd : bo_ifd + 2])
     for i in range(n):
         e = bo_ifd + 2 + 12 * i
         tag = struct.unpack("<H", data[e : e + 2])[0]
         if tag == 259:
-            data[e + 8 : e + 12] = struct.pack("<I", 32946)
+            data[e + 8 : e + 12] = struct.pack("<I", 7)
     with pytest.raises(NotImplementedError, match="compression"):
         TF.tiff_decode(bytes(data))
     with pytest.raises(ValueError, match="not a TIFF"):
@@ -118,10 +118,10 @@ def test_javax_reads_our_tiff_exactly(spark):
             assert got == tuple(int(v) for v in px[y, x]), (x, y)
 
 
-@pytest.mark.parametrize("comp", ["LZW", "PackBits", None])
+@pytest.mark.parametrize("comp", ["LZW", "PackBits", "Deflate", None])
 def test_we_read_javax_tiff_exactly(spark, comp):
-    """The JDK writer's LZW (with its own predictor choice), PackBits
-    and uncompressed streams all decode pixel-exact."""
+    """The JDK writer's LZW (with its own predictor choice), PackBits,
+    Deflate and uncompressed streams all decode pixel-exact."""
     jvm = spark._jvm
     px = I.synth_pixels("tiff-interop-2")[:48, :48]
     writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tif").next()

@@ -31,10 +31,26 @@ import zlib
 import numpy as np
 
 # --------------------------------------------------------------------------
-# PNG (lossless) — minimal RGB8 encoder/decoder, filter type 0 only.
+# PNG (lossless). Encoder: RGB8, filter 0 (optionally Adam7-interlaced
+# for decoder coverage). Decoder: the real-world surface — all five
+# scanline filters (none/sub/up/average/Paeth), Adam7 interlace, color
+# types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at
+# 8-bit depth, multi-IDAT. Sub-8-bit and 16-bit depths raise the
+# documented boundary.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -46,14 +62,29 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(pixels: np.ndarray) -> bytes:
+def png_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """RGB8 HxWx3 uint8 -> PNG bytes (filter 0, zlib level 6)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            sh, sw = sub.shape[:2]
+            parts.append(
+                np.concatenate(
+                    [np.zeros((sh, 1), dtype=np.uint8), sub.reshape(sh, sw * 3)],
+                    axis=1,
+                ).tobytes()
+            )
+        raw = b"".join(parts)
+    else:
+        raw = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+        ).tobytes()
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -62,25 +93,112 @@ def png_encode(pixels: np.ndarray) -> bytes:
     )
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Filtered scanlines -> (h, w*bpp) reconstructed bytes."""
+    stride = w * bpp
+    src = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = src[y, 0]
+        line = src[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero_row.astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # up
+            rec = line + prev
+        elif ftype == 1:  # sub: per-lane prefix sum mod 256
+            lanes = line.reshape(w, bpp)
+            rec = np.cumsum(lanes, axis=0).reshape(stride)
+        elif ftype == 3:  # average
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] = line[x] + ((left + (prev[x] & 0xFF)) >> 1)
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                ul = prev[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] = line[x] + _paeth(left, prev[x] & 0xFF, ul)
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def _png_channels(ctype: int) -> int:
+    return {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+
+def _png_to_rgb(arr: np.ndarray, ctype: int, palette: np.ndarray | None) -> np.ndarray:
+    """(h, w, channels) -> RGB8 (alpha dropped; palette expanded)."""
+    if ctype == 2:
+        return arr
+    if ctype == 6:
+        return arr[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if ctype == 3:
+        assert palette is not None, "palette image without PLTE"
+        return palette[arr[:, :, 0]]
+    raise NotImplementedError(f"PNG color type {ctype}")
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """PNG bytes -> RGB8 HxWx3 (our own filter-0 PNGs only)."""
+    """PNG bytes -> RGB8 HxWx3 (all filters, Adam7, color types
+    0/2/3/4/6 at 8-bit depth)."""
     assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, idat, w, h = 8, b"", 0, 0
+    pos, idat, w, h, bits, ctype, ilace = 8, b"", 0, 0, 8, 2, 0
+    palette = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
-            assert bits == 8 and ctype == 2, "only RGB8 supported"
+            w, h, bits, ctype, _, _, ilace = struct.unpack(">IIBBBBB", payload[:13])
+            if bits != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {bits}: only 8-bit decodes natively"
+                )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
-    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    bpp = _png_channels(ctype)
+    raw = zlib.decompress(idat)
+    if ilace == 0:
+        rec = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+        return _png_to_rgb(rec, ctype, palette)
+    # Adam7: each pass is an independently filtered sub-image
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sw = (w - x0 + dx - 1) // dx
+        sh = (h - y0 + dy - 1) // dy
+        if sw == 0 or sh == 0:
+            continue
+        n = sh * (sw * bpp + 1)
+        out[y0::dy, x0::dx] = _png_unfilter(raw[off : off + n], sh, sw, bpp).reshape(
+            sh, sw, bpp
+        )
+        off += n
+    return _png_to_rgb(out, ctype, palette)
 
 
 # --------------------------------------------------------------------------

@@ -207,11 +207,15 @@ def tiff_decode(data: bytes) -> np.ndarray:
             raw = strip
         elif comp == 5:
             raw = _tiff_lzw_decode(strip)
+        elif comp in (8, 32946):  # Deflate (Adobe + legacy tags)
+            import zlib
+
+            raw = zlib.decompress(strip)
         elif comp == 32773:
             raw = _packbits_decode(strip)
         else:
             raise NotImplementedError(
-                f"TIFF compression={comp}: none/LZW/PackBits decode natively"
+                f"TIFF compression={comp}: none/LZW/Deflate/PackBits decode natively"
             )
         y0 = si * rps
         n_rows = min(rps, h - y0)
