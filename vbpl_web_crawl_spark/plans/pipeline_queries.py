@@ -1385,3 +1385,24 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.join(sizes, "cluster_id").select(
         F.col("node").alias("doc_id"), "cluster_id", "n_reachable"
     )
+
+
+@_register(
+    "heavy_hitters_users",
+    """
+SELECT user_id, count(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) >= (SELECT count(*) FROM events) / 128.0
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users contributing >= 1/128 of all events, found the sketch way:
+    Misra-Gries partition summaries (O(1/phi) memory each) + merged
+    count-min estimate prune candidates, exact verify makes the answer
+    equal the full-groupBy oracle (operators/heavy.py). phi = 1/128 is
+    exactly representable, so both engines cut at the same threshold."""
+    from vbpl_web_crawl_spark.operators.heavy import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 1.0 / 128.0)
