@@ -774,3 +774,49 @@ def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("max_z"),
         )
     )
+
+
+@_register(
+    "scd2_event_type_history",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build (the lakehouse upsert-with-history shape):
+    collapse each user's event stream into versioned
+    [valid_from, valid_to) rows, one per event_type change; the open
+    row has valid_to NULL. Two windows on the SAME user_id
+    partitioning -> one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )

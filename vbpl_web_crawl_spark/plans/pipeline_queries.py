@@ -1406,3 +1406,39 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", 1.0 / 128.0)
+
+
+@_register(
+    "exact_quantiles_price",
+    """
+WITH s AS (SELECT o_totalprice AS v FROM orders),
+n AS (SELECT count(*) AS n FROM s)
+SELECT q, v FROM (
+  SELECT 0.5 AS q,
+         (SELECT v FROM s ORDER BY v
+          LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * n) AS BIGINT) - 1 FROM n)) AS v
+  UNION ALL
+  SELECT 0.9,
+         (SELECT v FROM s ORDER BY v
+          LIMIT 1 OFFSET (SELECT CAST(ceil(0.9 * n) AS BIGINT) - 1 FROM n))
+  UNION ALL
+  SELECT 0.99,
+         (SELECT v FROM s ORDER BY v
+          LIMIT 1 OFFSET (SELECT CAST(ceil(0.99 * n) AS BIGINT) - 1 FROM n))
+)
+""",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order totals WITHOUT a global sort
+    (operators/quantile.py: histogram refinement — the shuffle carries
+    <= 65536 bucket rows, then only the target bucket's rows are
+    selected exactly). direct_limit=1000 forces the histogram path
+    even at gate SF; the oracle is a literal ORDER BY ... OFFSET."""
+    from vbpl_web_crawl_spark.operators.quantile import exact_quantile
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = [
+        (q, exact_quantile(orders, "o_totalprice", q, direct_limit=1000))
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return spark.createDataFrame(rows, "q double, v double")
