@@ -187,3 +187,41 @@ def test_bench_query_plan_shape(spark, name):
     nodes = _nodes(plan)
     assert nodes["CartesianProduct"] == 0, f"{name}: cartesian product in plan"
     assert _BENCH_PLAN_EXPECT[name](plan, nodes), f"{name} plan shape:\n{nodes}"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions outside the bench suite: scan pruning and shuffle
+# counts for the sampling / SCD-2 / z-order gates.
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_prunes_scan_to_two_columns(spark):
+    plan = _plan(spark, "stratified_sample_by_lang")
+    read = plan.split("ReadSchema")[-1]
+    assert "doc_id" in read and "lang" in read
+    assert "text" not in read  # the body never leaves the parquet scan
+
+
+def test_split_prunes_scan_to_doc_id(spark):
+    plan = _plan(spark, "train_val_test_split")
+    read = plan.split("ReadSchema")[-1]
+    assert "doc_id" in read and "text" not in read and "lang" not in read
+
+
+def test_scd2_single_shuffle(spark):
+    plan = _plan(spark, "scd2_event_type_history")
+    n = _nodes(plan)
+    # both windows + the change filter share one user_id partitioning
+    assert n["Window"] >= 1 and _shuffles(n) == 1 and n["CartesianProduct"] == 0
+
+
+def test_zorder_buckets_partial_aggregation(spark):
+    plan = _plan(spark, "zorder_key_buckets")
+    n = _nodes(plan)
+    assert n["HashAggregate"] >= 2 and _shuffles(n) == 1  # map-side combine
+
+
+def test_sessionize_groupby_reuses_window_partitioning(spark):
+    # already in the bench expectations; keep an explicit named guard
+    plan = _plan(spark, "sessionize_events_gap")
+    assert _shuffles(_nodes(plan)) == 1
