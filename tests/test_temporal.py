@@ -148,6 +148,44 @@ def test_range_join_boundary_semantics(spark):
     assert got == {1, 2}
 
 
+def test_range_join_subsecond_precision(spark):
+    """Regression (round-3 ADVICE, high): fractional timestamps. With
+    second-truncated buckets the point 02:00:00.3 in interval
+    [00:00:00.5, 02:00:00.5) at bucket_seconds=7200 landed one bucket
+    past the interval's last exploded bucket and the match was DROPPED.
+    Microsecond bucketing must keep it — and the exclusive end."""
+    base = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    points = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(hours=2, milliseconds=300)),  # in (repro)
+            (2, base + dt.timedelta(milliseconds=500)),           # == start: in
+            (3, base + dt.timedelta(hours=2, milliseconds=500)),  # == end: out
+            (4, base + dt.timedelta(hours=2, milliseconds=500) - us),  # last us: in
+            (5, base + dt.timedelta(milliseconds=499)),           # just before: out
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                9,
+                base + dt.timedelta(milliseconds=500),
+                base + dt.timedelta(hours=2, milliseconds=500),
+            )
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    for bucket in (1, 600, 7200):
+        got = {
+            r.pid
+            for r in range_join_bucketed(
+                points, intervals, "ts", "w_start", "w_end", bucket
+            ).collect()
+        }
+        assert got == {1, 2, 4}, f"bucket={bucket}: {got}"
+
+
 def test_range_join_plan_is_equi_join(spark):
     base = dt.datetime(2024, 1, 1)
     points = spark.createDataFrame([(1, base)], "pid long, ts timestamp")

@@ -4,17 +4,25 @@ component). MinHash/SimHash/winnowing emit pairs; transitively linked
 pairs must collapse to one representative, which is exactly connected
 components on the pair graph.
 
-Implementation: hash-min label propagation as iterative DataFrame
-joins — every node starts labeled with its own id; each round every
-node takes the min label over itself and its neighbors; stop when no
-label changes. Deterministic (min is order-free), each round is ONE
-shuffle join + ONE aggregation, and the loop is driver-coordinated
-exactly like MLlib/GraphX iterations. Rounds needed = graph diameter;
-dedup components are tiny dense clusters (diameter 2-4), so the loop
-ends after a handful of rounds. For adversarial long-chain graphs the
-published fix is alternating large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14), which this
-loop structure accommodates without changing the driver protocol.
+Implementation: alternating large-star / small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) as iterative DataFrame rounds:
+
+- large-star(u): connect every neighbor v > u to m(u) = min of u's
+  closed neighborhood;
+- small-star(u): connect every neighbor v < u, and u itself, to the
+  min of u's smaller neighbors.
+
+Each round is two join+agg steps; the edge set contracts toward a
+disjoint union of stars centered at each component's minimum node in
+O(log d) rounds (d = diameter) — a 10^6-node path converges in ~20
+rounds where plain hash-min label propagation would need 10^6.
+Deterministic (min is order-free), driver-coordinated exactly like
+MLlib/GraphX iterations, with a localCheckpoint per round so the
+logical plan stays flat. Convergence is detected by a (count,
+hash-xor) signature of the canonical edge set going stationary across
+a full round; if max_iter rounds exhaust first the function RAISES —
+callers must never receive silently-unconverged (wrong) clusters.
 
 The DuckDB oracle is an INDEPENDENT implementation: a WITH RECURSIVE
 transitive closure + min-reachable-node per node.
@@ -26,48 +34,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical(pairs: DataFrame) -> DataFrame:
+    """Undirected edge list -> distinct (lo, hi) with lo < hi."""
+    return (
+        pairs.select(
+            F.least(F.col("x"), F.col("y")).alias("lo"),
+            F.greatest(F.col("x"), F.col("y")).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, cluster_id) with
     cluster_id = min node id in the component. Nodes = endpoints of
-    edges (isolated nodes never appear in a pair list)."""
-    both = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    edges (isolated nodes never appear in a pair list).
+
+    Raises RuntimeError if the star-contraction has not converged
+    after ``max_iter`` rounds (each round shrinks diameter
+    geometrically, so 25 covers any graph this engine can hold)."""
+    raw = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    nodes = (
+        raw.select(F.col("x").alias("node"))
+        .union(raw.select(F.col("y").alias("node")))
         .distinct()
+        .persist()
     )
-    both = both.persist()
-    labels = both.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    e = _canonical(raw).localCheckpoint(eager=True)
+    prev_sig = None
+    converged = False
     for _ in range(max_iter):
-        # neighbor minimum: min label over adjacent nodes
-        nbr_min = (
-            both.join(labels, both.v == labels.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+        both = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        # large-star: every neighbor v > u links to min(closed nbhd of u)
+        m_large = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            both.filter(F.col("v") > F.col("u"))
+            .join(m_large, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        e1 = _canonical(large)
+        # small-star: every neighbor v < u (and u itself) links to
+        # min of u's smaller neighbors
+        both1 = e1.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e1.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        le = both1.filter(F.col("v") < F.col("u"))
+        m_small = le.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            le.join(m_small, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(m_small.select(F.col("u").alias("x"), F.col("m").alias("y")))
         )
         # localCheckpoint per round: materializes AND truncates the
         # logical plan — without it the plan nests once per iteration
-        # and Catalyst analysis time grows exponentially with rounds
-        # (the standard iterative-DataFrame pitfall; MLlib checkpoints
-        # the same way)
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+        # and Catalyst analysis time grows with rounds (the standard
+        # iterative-DataFrame pitfall; MLlib checkpoints the same way)
+        e = _canonical(small).localCheckpoint(eager=True)
+        # bit_xor, not sum: order-free like sum but cannot overflow
+        # under ANSI mode
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(lo, hi))")
+            ).first()
         )
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
+        if sig == prev_sig:
+            converged = True
             break
-    out = labels.select("node", F.col("label").alias("cluster_id"))
-    both.unpersist()
+        prev_sig = sig
+    if not converged:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components: star-contraction did not converge in "
+            f"{max_iter} rounds — raising rather than returning wrong labels"
+        )
+    # fixpoint is a union of stars: every edge is (component_min, other)
+    labels = (
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    out = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("cluster_id")
+    )
+    nodes.unpersist()
     return out

@@ -109,19 +109,31 @@ def range_join_bucketed(
     time bucket (intervals explode to every bucket they overlap; each
     point lives in exactly one bucket). bucket_seconds should be on
     the order of the typical interval length: cost is
-    O(intervals * ceil(len/bucket) + points)."""
-    p = points.withColumn(
-        "__b", (F.unix_timestamp(F.col(point_time)) / bucket_seconds).cast("long")
-    )
+    O(intervals * ceil(len/bucket) + points).
+
+    Buckets are computed on exact MICROSECONDS (unix_micros), not
+    whole seconds: unix_timestamp() truncates sub-second precision,
+    and with fractional timestamps a point in [floor_sec(end), end)
+    could land one bucket past the interval's last exploded bucket,
+    silently dropping a true match. Mirrors the unix_micros fix in
+    sessionize_events_gap."""
+    bs_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def _us(c: str) -> Column:
+        # cast: parquet columns read as TIMESTAMP_NTZ, which
+        # unix_micros rejects
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p = points.withColumn("__b", F.floor(_us(point_time) / bs_us))
     iv = intervals.select(
         "*",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(F.col(start)) / bucket_seconds).cast("long"),
+                F.floor(_us(start) / bs_us),
                 # end is exclusive, but a point in end's bucket can
                 # still precede it — include the bucket containing
-                # the last covered instant
-                ((F.unix_timestamp(F.col(end)) - 1) / bucket_seconds).cast("long"),
+                # the last covered instant (end - 1 microsecond)
+                F.floor((_us(end) - 1) / bs_us),
             )
         ).alias("__b"),
     )

@@ -786,7 +786,7 @@ WITH ordered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 changes AS (
-  SELECT user_id, ts, event_type FROM ordered
+  SELECT user_id, ts, event_id, event_type FROM ordered
   WHERE prev_type IS NULL OR prev_type <> event_type
 )
 SELECT user_id, event_type,
@@ -794,7 +794,7 @@ SELECT user_id, event_type,
        ts AS valid_from,
        lead(ts) OVER w2 AS valid_to
 FROM changes
-WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,7 +802,9 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse each user's event stream into versioned
     [valid_from, valid_to) rows, one per event_type change; the open
     row has valid_to NULL. Two windows on the SAME user_id
-    partitioning -> one shuffle."""
+    partitioning -> one shuffle. Both windows tiebreak on event_id:
+    change rows CAN tie on (user_id, ts), and ts-only ordering would
+    make version numbering nondeterministic across engines."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -812,7 +814,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lag("event_type").over(w).alias("prev_type"))
         .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",

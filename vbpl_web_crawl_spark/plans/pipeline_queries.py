@@ -1432,13 +1432,13 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of order totals WITHOUT a global sort
     (operators/quantile.py: histogram refinement — the shuffle carries
     <= 65536 bucket rows, then only the target bucket's rows are
-    selected exactly). direct_limit=1000 forces the histogram path
-    even at gate SF; the oracle is a literal ORDER BY ... OFFSET."""
-    from vbpl_web_crawl_spark.operators.quantile import exact_quantile
+    selected exactly). All three ranks share ONE count and ONE
+    histogram pass per level (multi-rank exact_quantiles).
+    direct_limit=1000 forces the histogram path even at gate SF; the
+    oracle is a literal ORDER BY ... OFFSET."""
+    from vbpl_web_crawl_spark.operators.quantile import exact_quantiles
 
     orders = load_table(spark, sf_dir, "orders")
-    rows = [
-        (q, exact_quantile(orders, "o_totalprice", q, direct_limit=1000))
-        for q in (0.5, 0.9, 0.99)
-    ]
+    got = exact_quantiles(orders, "o_totalprice", [0.5, 0.9, 0.99], direct_limit=1000)
+    rows = [(q, got[q]) for q in (0.5, 0.9, 0.99)]
     return spark.createDataFrame(rows, "q double, v double")
