@@ -59,8 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from vbpl_web_crawl_spark.plans.queries import get_queries
+    """One entry per implemented operator from SURVEY.md §2 —
+    consolidated (subsumed gates certified via their superset query)
+    and rotation-ordered so the driver's bounded artifact window
+    re-certifies every gate across rounds (plans/gate_registry.py;
+    committed map in GATE_COVERAGE.md)."""
+    from vbpl_web_crawl_spark.plans.gate_registry import gate_queries
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,12 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in get_queries().items()}
+    return {name: wrap(fn) for name, fn in gate_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omissions are rows-only checks
     (non-SQL-expressible ops: crawl rounds, sketch state, image decode)."""
-    from vbpl_web_crawl_spark.plans.queries import get_oracles
+    from vbpl_web_crawl_spark.plans.gate_registry import gate_oracles
 
-    return get_oracles()
+    return gate_oracles()

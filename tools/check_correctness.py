@@ -38,12 +38,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    import __spark_entry__ as entrymod
+    # the FULL internal registry, not the driver-facing consolidated
+    # view (__spark_entry__): subsumed gates stay locally verified
+    # even while the driver certifies them via their superset query
+    # (plans/gate_registry.py, GATE_COVERAGE.md)
+    from vbpl_web_crawl_spark.plans.queries import get_oracles, get_queries
     from vbpl_web_crawl_spark.session import get_spark
 
     spark = get_spark("correctness_check", cpus=16)
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = get_queries()
+    oracles = get_oracles()
     only = set(sys.argv[1:])
 
     con = duckdb.connect()
