@@ -73,3 +73,25 @@ def test_assignment_deterministic(spark):
     a = {r.vec_id: r.cid for r in assign_to_centroids(emb, cents).collect()}
     b = {r.vec_id: r.cid for r in assign_to_centroids(emb, cents).collect()}
     assert a == b
+
+
+def test_empty_input_raises(spark):
+    """Round-3 ADVICE: an empty embeddings table must raise a clear
+    ValueError, not IndexError deep in seeding."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=4)
+
+
+def test_fewer_vectors_than_k_clamps_without_duplicates(spark):
+    """n < k must clamp k to the distinct-vector count instead of
+    seeding duplicate centroids (round-3 ADVICE: the m==1 path used to
+    bypass the degenerate-corpus check)."""
+    rows = [(i, [float(i), float(i % 2), 1.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=8, iters=2).collect()
+    assert len(cents) == 3
+    seen = {tuple(r.centroid) for r in cents}
+    assert len(seen) == 3, "duplicate centroids from degenerate corpus"

@@ -128,10 +128,13 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] == 0
     ),
     "dedup_winnowing_pairs": lambda p, n: (
-        # per-doc window min, then DF-capped fp equi-self-join: hash
-        # joins only, never a nested-loop over doc pairs
+        # per-doc window min computed ONCE (persisted: both the DF-cap
+        # agg and the pairing read InMemoryTableScan), hot fps dropped
+        # via an equi-join, then pairs explode inside <=cap-sized fp
+        # buckets — no self-join, never a nested loop over doc pairs
         n["Window"] >= 1
-        and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 2
+        and n["InMemoryTableScan"] >= 2
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
         and n["BroadcastNestedLoopJoin"] == 0
     ),
     "asof_join_purchase_to_prior_view": lambda p, n: (

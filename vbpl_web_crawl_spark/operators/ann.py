@@ -2,14 +2,19 @@
 scale path for similarity search, complementing the sign-LSH buckets in
 plans/pipeline_queries.py.
 
-Shape at 100 TB: k-means runs on a sample (centroids are tiny and
-broadcast everywhere); every vector is assigned to its nearest centroid
-ONCE at ingest (one broadcast join, no shuffle of the embedding table
-beyond its write); a query probes the n_probe nearest centroid lists
-only — candidate count is n_probe/k of the corpus instead of all of it,
-and each list is a partition-prunable predicate on the assignment
-column. All math is DataFrame expressions (zip_with/aggregate) — no
-Python in the per-vector path; only the k centroids cross the driver.
+Shape at 100 TB: k-means trains on a BOUNDED hash-sample
+(~k * sample_per_centroid rows by construction, independent of corpus
+size) that is collected once and fit driver-side in numpy — the same
+train-on-sample design FAISS uses for IVF, and the same
+bounded-bytes-to-driver rule as the Misra-Gries sketches in
+operators/heavy.py. Every corpus vector is then assigned to its
+nearest centroid ONCE, distributed (one broadcast of the k centroids,
+one shuffle-free scan + one groupBy); a query probes the n_probe
+nearest centroid lists only — candidate count is n_probe/k of the
+corpus instead of all of it, and each list is a partition-prunable
+predicate on the assignment column. Per-vector math in the
+distributed path is DataFrame expressions (zip_with/aggregate) — no
+Python; only the bounded sample and the k centroids cross the driver.
 """
 
 from __future__ import annotations
@@ -33,87 +38,103 @@ def _cosine(x, y):
 def assign_to_centroids(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding) x (cid, centroid) -> nearest-centroid
     assignment. Centroids broadcast; argmin via min(struct(-cos, cid))
-    so ties break deterministically toward the smaller cid."""
+    so ties break deterministically toward the smaller cid. The
+    embedding rides the same aggregation (constant within each vec_id
+    group, so first() is deterministic) — ONE shuffle of the embedding
+    table and no join back, where a groupBy+join formulation shuffles
+    it twice."""
     j = emb.crossJoin(F.broadcast(centroids))
-    scored = j.select(
-        "vec_id",
-        F.struct(
-            (-_cosine(F.col("embedding"), F.col("centroid"))).alias("negcos"),
-            F.col("cid").alias("cid"),
-        ).alias("cand"),
+    best = j.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-_cosine(F.col("embedding"), F.col("centroid"))).alias("negcos"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("best"),
+        F.first("embedding").alias("embedding"),
     )
-    best = scored.groupBy("vec_id").agg(F.min("cand").alias("best"))
-    return emb.join(best, "vec_id").select(
-        "vec_id", "embedding", F.col("best.cid").alias("cid")
-    )
+    return best.select("vec_id", "embedding", F.col("best.cid").alias("cid"))
 
 
-def _farthest_point_seeds(sample: DataFrame, k: int) -> DataFrame:
-    """Deterministic k-center greedy init: seed 0 = smallest vec_id
-    hash (a deterministic 'random' draw); seed i = the sample vector
-    farthest (max 1 - cos) from its nearest already-chosen seed, ties
-    to the smaller vec_id. Spreads seeds across the data instead of
-    correlating them, which fixed-low-id seeding does when low ids
-    cluster. Each step is one small job on the bounded sample and only
-    single centroid rows ever cross the driver."""
-    first = (
-        sample.orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
-        .limit(1)
-        .select("embedding")
-        .collect()[0][0]
-    )
-    chosen = [[float(v) for v in first]]
+def _fit_on_sample(X, order, k: int, iters: int):
+    """Driver-side deterministic k-means on the collected sample.
+    ``X``: (n, d) float64 matrix, rows pre-sorted by
+    (xxhash64(vec_id), vec_id) so row 0 is the deterministic 'random'
+    first seed; ``order``: the vec_ids in that row order (farthest-
+    point ties break to the smaller vec_id via stable argmin over this
+    ordering). Returns a list of centroid lists."""
+    import numpy as np
+
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    U = X / norms[:, None]
+
+    # farthest-point (k-center greedy) init: next seed = row whose max
+    # cosine to any chosen seed is smallest; ties -> smaller vec_id
+    id_rank = np.argsort(np.argsort(order, kind="stable"), kind="stable")
+    seeds = [0]
+    max_cos = U @ U[0]
     for _ in range(1, k):
-        cos_to = [
-            _cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in chosen
-        ]
-        nearest = cos_to[0] if len(cos_to) == 1 else F.greatest(*cos_to)
-        row = (
-            sample.select("vec_id", "embedding", nearest.alias("mc"))
-            .orderBy(F.asc("mc"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append([float(v) for v in row.embedding])
-    spark = sample.sparkSession
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(chosen)], "cid int, centroid array<double>"
-    )
+        d = np.lexsort((id_rank, max_cos))
+        nxt = next(i for i in d if i not in seeds)
+        seeds.append(int(nxt))
+        max_cos = np.maximum(max_cos, U @ U[nxt])
+    C = X[seeds].copy()
+
+    for _ in range(iters):
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0.0] = 1.0
+        cos = U @ (C / Cn[:, None]).T  # (n, k)
+        assign = np.argmax(cos, axis=1)  # first max = smaller cid on ties
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            # empty cluster: keep the previous centroid (deterministic)
+    return [[float(v) for v in row] for row in C]
 
 
 def kmeans_fit(
     emb: DataFrame, k: int = 16, iters: int = 4, sample_per_centroid: int = 256
 ) -> DataFrame:
-    """Deterministic k-means over (vec_id, embedding), fit on a
+    """Deterministic k-means over (vec_id, embedding), trained on a
     deterministic hash-sample: rows with pmod(xxhash64(vec_id), m) == 0,
-    m sized so the sample holds ~k * sample_per_centroid vectors — Lloyd
-    never scans the full corpus, which at 10^10 vectors is the
-    difference between a bounded fit job and iters full-table passes.
-    Init = deterministic farthest-point (k-center greedy) on the sample.
-    Assign the full corpus once afterwards via assign_to_centroids.
-    Returns (cid, centroid)."""
+    m sized so the sample holds ~k * sample_per_centroid vectors. The
+    sample is BOUNDED by construction (a few thousand rows at any
+    corpus size), so it is collected ONCE and both farthest-point
+    seeding and the Lloyd iterations run driver-side in numpy — two
+    Spark jobs total (count + sample collect) instead of one job per
+    seed and per round; at 10^10 vectors the fit cost is unchanged
+    while the corpus is only ever touched by the single distributed
+    assignment pass (assign_to_centroids). Raises ValueError on an
+    empty input; k is clamped to the sample's distinct-vector count so
+    degenerate corpora (n < k) cannot yield duplicate farthest-point
+    seeds. Returns (cid, centroid)."""
+    import numpy as np
+
     n = emb.count()
+    if n == 0:
+        raise ValueError("kmeans_fit: empty embeddings input")
     m = max(1, n // max(k * sample_per_centroid, 1))
     sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0) if m > 1 else emb
-    if m > 1 and sample.count() < k:  # degenerate corpus; fit on all rows
-        sample = emb
-    cents = _farthest_point_seeds(sample, k)
-    for _ in range(iters):
-        assigned = assign_to_centroids(sample, cents)
-        cents = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims")
-            )
-            .select(
-                "cid",
-                F.transform(F.col("dims"), lambda s: s.getField("m")).alias("centroid"),
-            )
+    rows = (
+        sample.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .collect()
+    )
+    if m > 1 and len(rows) < k:  # degenerate corpus; fit on all rows
+        rows = (
+            emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+            .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+            .collect()
         )
-    return cents
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    k_eff = min(k, len(np.unique(X, axis=0)))
+    cents = _fit_on_sample(X, np.array([r.vec_id for r in rows]), k_eff, iters)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, centroid array<double>"
+    )
 
 
 def ivf_search(
