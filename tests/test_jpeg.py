@@ -203,3 +203,44 @@ def test_external_subsampled_420_decodes(spark):
     assert IMG.psnr(px, dec) >= 25.0
     # decode is still bit-deterministic on the subsampled path
     assert np.array_equal(J.jpeg_decode(data), dec)
+
+
+def test_multi_scan_baseline_roundtrip_and_equality():
+    """Multi-scan baseline (one SOS per component, T.81 B.2.2): our
+    decoder must accumulate coefficients across scans and reconstruct
+    EXACTLY the pixels of the equivalent single-scan stream (same
+    coefficients, different scan layout), at >= 40 dB vs the source."""
+    px = IMG.synth_pixels("multiscan")
+    single = J.jpeg_encode(px)
+    multi = J.jpeg_encode(px, multi_scan=True)
+    assert multi != single
+    assert multi.count(b"\xff\xda") == 3, "expected one SOS per component"
+    dec_m = J.jpeg_decode(multi)
+    dec_s = J.jpeg_decode(single)
+    assert np.array_equal(dec_m, dec_s)
+    assert IMG.psnr(px, dec_m) >= 40.0
+
+
+def test_multi_scan_baseline_javax_interop(spark):
+    """External cross-check of the multi-scan layout: javax.imageio (an
+    independent decoder) must parse our multi-scan stream and agree
+    with our decoder (sampled grid, >= 40 dB vs our decode)."""
+    jvm = spark._jvm
+    px = IMG.synth_pixels("multiscan-x")
+    data = J.jpeg_encode(px, multi_scan=True)
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    img = jvm.javax.imageio.ImageIO.read(stream)
+    assert img is not None, "javax.imageio could not parse multi-scan stream"
+    ours = J.jpeg_decode(data)
+    h, w = img.getHeight(), img.getWidth()
+    assert (h, w) == px.shape[:2]
+    step = 7
+    se, n = 0.0, 0
+    for y in range(0, h, step):
+        for x in range(0, w, step):
+            rgb = img.getRGB(x, y)
+            got = np.array([(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF])
+            se += float(((got - ours[y, x].astype(np.int64)) ** 2).sum())
+            n += 3
+    psnr = 10 * np.log10(255.0**2 / max(se / n, 1e-9))
+    assert psnr >= 40.0, psnr

@@ -326,51 +326,93 @@ class CrawlEngine:
         }
 
         def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import deque
+
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             last_ts: dict[str, float] = {}  # per-partition token pacing
+
+            def do_fetch(row) -> dict:
+                ts = time.monotonic()
+                last_ts[row.host] = ts
+                page = SITE.fetch(cfg_site, row.url, attempt=row.retry_count)
+                rec = {c: getattr(row, c) for c in in_cols}
+                rec.update(
+                    fetch_partition=pid,
+                    fetch_ts=ts,
+                    status=page.status,
+                    kind=page.kind,
+                    caption=page.caption,
+                    image_id=page.image_id,
+                    bytes=None,
+                    w=None,
+                    h=None,
+                    fmt=None,
+                    phash=None,
+                    links=[
+                        {"l_url": u, "l_doc_type": dt, "in_page_pos": pos}
+                        for (u, dt, pos) in page.links
+                    ],
+                    fulltext=page.fulltext or None,
+                )
+                if page.image_id is not None:
+                    img = IMG.synth_image_record(page.image_id)
+                    rec.update(
+                        bytes=img["bytes"],
+                        w=img["w"],
+                        h=img["h"],
+                        fmt=img["fmt"],
+                        caption=img["caption"],
+                        phash=img["phash"],
+                    )
+                return rec
+
             for pdf in it:
-                out = []
-                for row in pdf.itertuples(index=False):
-                    if pace:
-                        delay = delay_by_host.get(row.host, P.DEFAULT_CRAWL_DELAY)
-                        wait = last_ts.get(row.host, -delay) + delay - time.monotonic()
+                rows = list(pdf.itertuples(index=False))
+                out: list = [None] * len(rows)
+                if not pace:
+                    for i, row in enumerate(rows):
+                        out[i] = do_fetch(row)
+                else:
+                    # interleave across hosts: a salted partition can
+                    # hold several hosts, and sleeping for one host's
+                    # next token must NOT serialize the others behind
+                    # it (the round-3 pacing regression). Per-host FIFO
+                    # preserves each host's row order — its pacing
+                    # sequence and the metering invariant — while the
+                    # scheduler always runs the host whose token is
+                    # ready soonest and sleeps only until THAT token.
+                    queues: dict[str, deque] = {}
+                    appear: dict[str, int] = {}
+                    for i, row in enumerate(rows):
+                        if row.host not in queues:
+                            appear[row.host] = len(appear)
+                            queues[row.host] = deque()
+                        queues[row.host].append(i)
+                    ready = {
+                        h: last_ts[h] + delay_by_host.get(h, P.DEFAULT_CRAWL_DELAY)
+                        if h in last_ts
+                        else float("-inf")
+                        for h in queues
+                    }
+                    while queues:
+                        now = time.monotonic()
+                        h = min(
+                            queues, key=lambda x: (max(ready[x], now), appear[x])
+                        )
+                        wait = ready[h] - now
                         if wait > 0:
                             time.sleep(wait)
-                    ts = time.monotonic()
-                    last_ts[row.host] = ts
-                    page = SITE.fetch(cfg_site, row.url, attempt=row.retry_count)
-                    rec = {c: getattr(row, c) for c in in_cols}
-                    rec.update(
-                        fetch_partition=pid,
-                        fetch_ts=ts,
-                        status=page.status,
-                        kind=page.kind,
-                        caption=page.caption,
-                        image_id=page.image_id,
-                        bytes=None,
-                        w=None,
-                        h=None,
-                        fmt=None,
-                        phash=None,
-                        links=[
-                            {"l_url": u, "l_doc_type": dt, "in_page_pos": pos}
-                            for (u, dt, pos) in page.links
-                        ],
-                        fulltext=page.fulltext or None,
-                    )
-                    if page.image_id is not None:
-                        img = IMG.synth_image_record(page.image_id)
-                        rec.update(
-                            bytes=img["bytes"],
-                            w=img["w"],
-                            h=img["h"],
-                            fmt=img["fmt"],
-                            caption=img["caption"],
-                            phash=img["phash"],
+                        i = queues[h].popleft()
+                        if not queues[h]:
+                            del queues[h]
+                        out[i] = do_fetch(rows[i])
+                        ready[h] = last_ts[h] + delay_by_host.get(
+                            h, P.DEFAULT_CRAWL_DELAY
                         )
-                    out.append(rec)
+                # output rows keep the ORIGINAL batch order regardless
+                # of fetch scheduling, so downstream stays bit-identical
                 batch = pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
                 # nullable Int64 built from the raw Python ints: letting
                 # pd.DataFrame infer a column with Nones upcasts to

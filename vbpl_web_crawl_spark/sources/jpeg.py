@@ -10,13 +10,16 @@ Scope:
   length canonical Huffman tables (written to DHT, so ANY standard
   decoder reads these files — uniform tables trade a few % of size for
   simplicity, and the tables travel in the stream as T.81 requires).
-- Decoder: general baseline sequential — parses DQT/DHT/SOF0/SOS/DRI
-  from the stream (arbitrary standard tables, e.g. libjpeg output),
-  handles byte stuffing, restart markers, and MCU-interleaved
-  subsampled chroma (4:2:0 / 4:2:2 / 4:4:0 — any integer sampling
-  factors, nearest-neighbor upsample). Unsupported: progressive (SOF2)
-  and multi-scan baseline (raise NotImplementedError with the boundary
-  stated).
+- Decoder: general baseline sequential (SOF0) — single-scan
+  interleaved, MULTI-SCAN baseline (components across several scans,
+  T.81 B.2.2), and progressive (SOF2, spectral selection + successive
+  approximation) — parsing DQT/DHT/SOF/SOS/DRI from the stream
+  (arbitrary standard tables, e.g. libjpeg output), byte stuffing,
+  restart markers, and MCU-interleaved subsampled chroma
+  (4:2:0 / 4:2:2 / 4:4:0 — any integer sampling factors,
+  nearest-neighbor upsample). Unsupported (fail-loud
+  NotImplementedError): hierarchical, lossless, arithmetic-coded, and
+  12-bit variants.
 - All DCT/IDCT math is scaled-int64 einsum (like phash64): float matmul
   dispatches to BLAS whose reduction order varies with thread count, and
   decoded pixels feed content hashes — a worker must decode bit-
@@ -360,8 +363,14 @@ def _entropy_pack_slow(plane_zz: list[np.ndarray]) -> bytes:
     return bw.flush()
 
 
-def jpeg_encode(pixels: np.ndarray) -> bytes:
-    """RGB8 HxWx3 or gray HxW uint8 (dims multiples of 8) -> JPEG."""
+def jpeg_encode(pixels: np.ndarray, multi_scan: bool = False) -> bytes:
+    """RGB8 HxWx3 or gray HxW uint8 (dims multiples of 8) -> JPEG.
+
+    ``multi_scan=True`` emits a MULTI-SCAN baseline stream (one
+    non-interleaved SOS per component, T.81 B.2.2) instead of a single
+    interleaved scan — produced for the decoder's multi-scan interop
+    tests and readable by any standard decoder (javax.imageio
+    cross-checks it)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     assert h % 8 == 0 and w % 8 == 0, "pad to 8-pixel multiples first"
@@ -390,11 +399,6 @@ def jpeg_encode(pixels: np.ndarray) -> bytes:
     out += _seg(0xC0, sof)
     out += _dht_seg(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_seg(1, 0, _AC_BITS, _AC_VALS)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
 
     # per-plane quantized zigzag coefficients
     plane_zz = []
@@ -406,8 +410,22 @@ def jpeg_encode(pixels: np.ndarray) -> bytes:
         # float division is per-element (no BLAS reduction): deterministic
         plane_zz.append(qz[:, _ZZ])
 
-    out += _entropy_pack(plane_zz)  # vectorized; byte-equal to the
-    # scalar reference (_entropy_pack_slow), asserted in tests
+    if multi_scan and ncomp > 1:
+        # one non-interleaved scan per component; each scan's DC
+        # predictor starts at 0 (T.81 F.2.1.3.1), which is exactly
+        # what _entropy_pack's per-component diff-prepend produces
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+            out += _seg(0xDA, sos)
+            out += _entropy_pack([plane_zz[ci]])
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, sos)
+        out += _entropy_pack(plane_zz)  # vectorized; byte-equal to the
+        # scalar reference (_entropy_pack_slow), asserted in tests
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -585,18 +603,36 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             ns = payload[0]
             if not progressive:
-                if ns != len(comps):
-                    raise NotImplementedError(
-                        "multi-scan baseline (ns < nf) not supported"
+                if ns == len(comps) and prog is None:
+                    # single full-interleave scan: the one-pass fast path
+                    for si in range(ns):
+                        cid, tt = payload[1 + 2 * si : 3 + 2 * si]
+                        for c in comps:
+                            if c["id"] == cid:
+                                c["dc"] = htables[(0, tt >> 4)]
+                                c["ac"] = htables[(1, tt & 0xF)]
+                    pos += seg_len
+                    return _decode_scan(
+                        data, pos, h, w, comps, qtables, restart_interval
                     )
+                # multi-scan baseline (T.81 B.2.2: a sequential frame
+                # may deliver its components across several scans):
+                # accumulate full DC+AC coefficients per scan into the
+                # shared block grids, reconstruct at EOI — the same
+                # cross-scan state the progressive path uses
+                if prog is None:
+                    prog = _init_progressive(comps, h, w)
+                scan = []
                 for si in range(ns):
                     cid, tt = payload[1 + 2 * si : 3 + 2 * si]
-                    for c in comps:
-                        if c["id"] == cid:
-                            c["dc"] = htables[(0, tt >> 4)]
-                            c["ac"] = htables[(1, tt & 0xF)]
-                pos += seg_len
-                return _decode_scan(data, pos, h, w, comps, qtables, restart_interval)
+                    (c,) = [c for c in comps if c["id"] == cid]
+                    scan.append(
+                        (c, htables[(0, tt >> 4)], htables[(1, tt & 0xF)])
+                    )
+                pos = _decode_seq_scan(
+                    data, pos + seg_len, prog, scan, restart_interval
+                )
+                continue
             if prog is None:
                 prog = _init_progressive(comps, h, w)
             scan = []
@@ -684,6 +720,69 @@ def _decode_scan(data, pos, h, w, comps, qtables, restart_interval) -> np.ndarra
                         zz[k] = _extend(br.bits(size), size)
                         k += 1
     return _reconstruct(comps, coeff, qtables, h, w, hmax, vmax)
+
+
+def _decode_seq_scan(data, pos, prog, scan, restart_interval) -> int:
+    """One baseline SEQUENTIAL scan (full DC+AC per data unit) into
+    ``prog['coeff']`` — the multi-scan baseline path. Interleaved
+    (multi-component) scans walk the frame MCU grid; a
+    single-component scan rasters that component's used blocks
+    (T.81 A.2.2), with restart intervals counting MCUs / data units
+    respectively. Returns the offset of the next marker."""
+    coeff = prog["coeff"]
+    segs, end = _split_entropy_segments(data, pos)
+    state = {"seg": 0, "br": _FastBits(segs[0])}
+    prev_dc = [0] * len(prog["comps"])
+
+    def restart():
+        state["seg"] += 1
+        state["br"] = _FastBits(segs[state["seg"]])
+        prev_dc[:] = [0] * len(prev_dc)
+
+    def block(c, dc_lut, ac_lut, idx):
+        br = state["br"]
+        zz = coeff[c["ci"]][idx]
+        _decode_dc_unit(br, dc_lut, zz, prev_dc, c["ci"], 0, 0)
+        k = 1
+        while k <= 63:
+            e = int(ac_lut[br.peek16()])
+            if e < 0:
+                raise ValueError("invalid Huffman code (baseline AC)")
+            br.skip(e & 31)
+            sym = e >> 5
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+
+    if len(scan) > 1:  # interleaved subset, MCU order over the frame grid
+        mcx, mcy = prog["mcx"], prog["mcy"]
+        for mi in range(mcx * mcy):
+            if restart_interval and mi and mi % restart_interval == 0:
+                restart()
+            my, mx = divmod(mi, mcx)
+            for c, dc_lut, ac_lut in scan:
+                for bv in range(c["v"]):
+                    for bh_ in range(c["h"]):
+                        idx = (my * c["v"] + bv) * c["bw"] + mx * c["h"] + bh_
+                        block(c, dc_lut, ac_lut, idx)
+    else:  # single component, raster over its used blocks
+        c, dc_lut, ac_lut = scan[0]
+        bi = 0
+        for by in range(c["ubh"]):
+            for bx in range(c["ubw"]):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    restart()
+                block(c, dc_lut, ac_lut, by * c["bw"] + bx)
+                bi += 1
+    return end
 
 
 def _init_progressive(comps: list[dict], h: int, w: int) -> dict:
