@@ -253,6 +253,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding and the candidate set match exactly. k=8 hashes, 4 bands of 2.
 # At 100 TB this is the dedup workhorse: shuffle cost is O(docs * bands),
 # and the verify step (exact Jaccard) runs only within buckets.
+#
+# Signatures are computed over the CAPPED shingle sets (stop-shingle
+# removal, same NGRAM_DF_CAP as the n-gram path, mirrored in the
+# oracle): a boilerplate shingle present in d docs would otherwise win
+# a band's minimum for all d of them and put the whole cohort in one
+# band bucket — O(d^2) candidates. The 10x growth probe
+# (tools/dedup_scaling_probe.py) measured exactly that (8.2x pair
+# growth on 4x docs) before the cap and linear growth after.
 # ---------------------------------------------------------------------------
 
 _MINHASH_K = 8
@@ -261,7 +269,7 @@ _MINHASH_BANDS = 4  # rows per band = 2
 _MINHASH_SIG_SQL = f"""
   SELECT doc_id,
          {', '.join(f"min(md5(shingle || '|{i}')) AS h{i}" for i in range(_MINHASH_K))}
-  FROM ({_SHINGLES_SQL}) GROUP BY doc_id
+  FROM ({_CAPPED_SHINGLES_SQL}) GROUP BY doc_id
 """
 
 _BAND_KEYS_SQL = ", ".join(
@@ -286,10 +294,7 @@ FROM bands a JOIN bands b
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
-        .distinct()
-    )
+    sh = capped_shingles(docs)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"h{i}")
@@ -340,7 +345,7 @@ _MINHASH_VERIFY_TAU = 0.8
 @_register(
     "dedup_minhash_verified_pairs",
     f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh AS ({_CAPPED_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -359,10 +364,10 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
 )
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle"))
-        .distinct()
-    )
+    # CAPPED shingles (stop-shingle removal, oracle-mirrored): without
+    # the cap a boilerplate shingle wins band minima corpus-wide and
+    # one band bucket goes O(d^2) — see the md5-path comment above
+    sh = capped_shingles(docs)
     # integer signature: min over shingles of xxhash64(shingle, seed_i);
     # the shingle-set size rides along in the same aggregation so the
     # verify step below needs no second shingle pass for sizes
