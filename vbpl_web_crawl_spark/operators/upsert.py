@@ -13,6 +13,11 @@ where updates' is deduplicated latest-wins by recency (W6 semantics,
 app/service/vbpl.py:1091 order_by updated_at desc). The rewrite is a
 single shuffle on the key — the same physical plan Iceberg's
 copy-on-write MERGE produces for full-row updates.
+
+These are the PURE-FRAME semantics; the storage-dispatched table
+object (real `MERGE INTO` SQL on an Iceberg catalog, snapshot-
+versioned parquet otherwise) lives in sources/lakehouse.py and uses
+these functions as its fallback engine.
 """
 
 from __future__ import annotations

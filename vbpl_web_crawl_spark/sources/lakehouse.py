@@ -1,0 +1,177 @@
+"""Lakehouse table seam: ONE contract (read / replace / merge-upsert /
+snapshot history), TWO backends dispatched by what the session offers —
+real Iceberg SQL when an Iceberg catalog is configured, snapshot-
+versioned parquet otherwise.
+
+The reference's check-then-insert-or-update blocks (S9/T6,
+/root/reference/app/service/vbpl.py:186-252) map to Iceberg
+
+    MERGE INTO <table> t
+    USING <updates> u
+      ON  t.k1 = u.k1 [AND ...]
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+which is exactly what the Iceberg backend issues. This sandbox has no
+Iceberg runtime (SURVEY.md §7 allows the fallback), so the default
+backend provides the same contract over parquet with Iceberg-style
+snapshot commits: every write lands in a fresh ``v-<n>`` directory and
+a ``_current`` pointer file is flipped via write-temp + atomic rename —
+readers never observe a half-written table, crashed writers leave the
+pointer untouched, and the previous snapshot stays readable (the same
+manifest-pointer-flip protocol the crawl checkpoints use,
+crawl/fsio.py). Both backends run the identical contract test suite
+(tests/test_lakehouse.py); the Iceberg half auto-skips where no
+catalog is configured.
+
+Cluster deployment (README §deploy): add the Iceberg runtime and a
+catalog to spark-submit and pass a catalog-qualified table name —
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.1 \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=hdfs:///warehouse \
+      ... ; LakehouseTable.for_name(spark, "lake.db.documents")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vbpl_web_crawl_spark.crawl import fsio
+from vbpl_web_crawl_spark.operators.upsert import latest_wins, merge_upsert
+
+_POINTER = "_current"
+
+
+def iceberg_catalog_ready(spark: SparkSession, catalog: str) -> bool:
+    """True when ``catalog`` is a configured Spark catalog backed by a
+    loadable Iceberg SparkCatalog class."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    if not impl or "iceberg" not in impl.lower():
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(impl)
+        return True
+    except Exception:
+        return False
+
+
+class LakehouseTable:
+    """Format-dispatched upsert-able table.
+
+    ``for_name(spark, "cat.db.tbl")`` -> Iceberg backend (requires the
+    catalog to be Iceberg-ready, else ValueError so a mis-deploy fails
+    loudly instead of silently writing local parquet);
+    ``for_path(spark, "/warehouse/tbl")`` -> snapshot-versioned parquet.
+    """
+
+    def __init__(self, spark: SparkSession, *, name: str | None, path: str | None):
+        assert (name is None) != (path is None)
+        self.spark = spark
+        self.name = name
+        self.path = path
+
+    @classmethod
+    def for_name(cls, spark: SparkSession, name: str) -> "LakehouseTable":
+        catalog = name.split(".", 1)[0]
+        if not iceberg_catalog_ready(spark, catalog):
+            raise ValueError(
+                f"catalog {catalog!r} is not an Iceberg catalog on this "
+                "session — configure spark.sql.catalog.* (see module "
+                "docstring) or use LakehouseTable.for_path"
+            )
+        return cls(spark, name=name, path=None)
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, path: str) -> "LakehouseTable":
+        return cls(spark, name=None, path=path)
+
+    # ---------------- contract ----------------
+
+    def exists(self) -> bool:
+        if self.name is not None:
+            return bool(self.spark.catalog.tableExists(self.name))
+        return fsio.exists(self.spark, f"{self.path}/{_POINTER}")
+
+    def read(self) -> DataFrame:
+        if self.name is not None:
+            return self.spark.table(self.name)
+        return self.spark.read.parquet(self._current_dir())
+
+    def replace(self, df: DataFrame) -> None:
+        """Create or fully replace the table contents (one snapshot)."""
+        if self.name is not None:
+            df.writeTo(self.name).createOrReplace()
+            return
+        self._commit_snapshot(df)
+
+    def merge(
+        self, updates: DataFrame, keys: list[str], recency_col: str | None = None
+    ) -> None:
+        """MERGE semantics: same-key rows replaced, new keys inserted;
+        duplicate keys inside ``updates`` collapse latest-wins when
+        ``recency_col`` is given. One snapshot per call."""
+        if not self.exists():
+            deduped = (
+                latest_wins(updates, keys, recency_col)
+                if recency_col is not None
+                else updates.dropDuplicates(keys)
+            )
+            self.replace(deduped)
+            return
+        if self.name is not None:
+            if recency_col is not None:
+                updates = latest_wins(updates, keys, recency_col)
+            else:
+                updates = updates.dropDuplicates(keys)
+            view = "_lakehouse_merge_updates"
+            updates.createOrReplaceTempView(view)
+            cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self.name} t USING {view} u ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        merged = merge_upsert(self.read(), updates, keys, recency_col)
+        self._commit_snapshot(merged)
+
+    def snapshots(self) -> list[str]:
+        """Snapshot ids, oldest first (Iceberg: snapshot history table;
+        parquet: committed v-<n> directories)."""
+        if self.name is not None:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.name}.snapshots "
+                "ORDER BY committed_at"
+            ).collect()
+            return [str(r.snapshot_id) for r in rows]
+        vs = sorted(
+            d for d in fsio.listdir(self.spark, self.path) if d.startswith("v-")
+        )
+        cur = self._current_version()
+        return [v for v in vs if v <= cur]
+
+    # ---------------- parquet snapshot commit ----------------
+
+    def _current_version(self) -> str:
+        return fsio.read_bytes(self.spark, f"{self.path}/{_POINTER}").decode()
+
+    def _current_dir(self) -> str:
+        return f"{self.path}/{self._current_version()}"
+
+    def _commit_snapshot(self, df: DataFrame) -> None:
+        nxt = 1
+        if fsio.exists(self.spark, f"{self.path}/{_POINTER}"):
+            nxt = int(self._current_version()[2:]) + 1
+        vname = f"v-{nxt:08d}"
+        df.write.mode("overwrite").parquet(f"{self.path}/{vname}")
+        tmp = f"{self.path}/{_POINTER}.tmp-{vname}"
+        fsio.write_bytes(self.spark, tmp, vname.encode())
+        if fsio.exists(self.spark, f"{self.path}/{_POINTER}"):
+            fsio.delete(self.spark, f"{self.path}/{_POINTER}", recursive=False)
+        fsio.rename(self.spark, tmp, f"{self.path}/{_POINTER}")
