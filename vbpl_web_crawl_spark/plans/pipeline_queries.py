@@ -502,6 +502,100 @@ def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1): the fraction of tokens covered by the
+# single most frequent 1-gram / 2-gram — the standard repetitive-doc
+# filter of a training-data pipeline. All arithmetic is INTEGER-exact
+# (threshold compares as cross-multiplied ints, sums of counts, never
+# float averages) so the value hash cannot drift between engines.
+# Scale: two (doc_id, gram) groupBys with map-side combine, then
+# doc_id-keyed joins — no shuffle carries document bodies.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_repetition_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS w FROM documents
+),
+toks AS (SELECT doc_id, lang, len(w) AS n FROM base),
+g1 AS (
+  SELECT doc_id, max(c) AS top1 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(w) AS g FROM base
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest([array_to_string(w[i : i + 1], ' ')
+                     for i in generate_series(1, greatest(len(w) - 1, 1))]) AS g
+      FROM base
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT t.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN 10 * g1.top1 >= 3 * t.n THEN 1 ELSE 0 END) AS BIGINT)
+         AS repetitive_1g,
+       CAST(sum(CASE WHEN 20 * g2.top2 >= 2 * t.n THEN 1 ELSE 0 END) AS BIGINT)
+         AS repetitive_2g,
+       CAST(sum(g1.top1) AS BIGINT) AS sum_top1,
+       CAST(sum(g2.top2) AS BIGINT) AS sum_top2,
+       CAST(sum(t.n) AS BIGINT) AS sum_tokens
+FROM toks t JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
+GROUP BY t.lang
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition summary: docs whose top 1-gram covers
+    >= 30% of tokens (10*top1 >= 3*n) or whose top 2-gram covers
+    >= 20% of token positions (2*top2/n >= 0.2, compared as
+    20*top2 >= 2*n — integer cross-multiplication, no float drift),
+    plus the exact count sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n")
+    )
+    g1 = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top1"))
+    )
+    g2 = (
+        docs.select(
+            "doc_id", F.explode(TX.word_shingles(F.col("text"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"))
+    )
+    return (
+        toks.join(g1, "doc_id")
+        .join(g2, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(10 * F.col("top1") >= 3 * F.col("n"), 1).otherwise(0)
+            ).cast("long").alias("repetitive_1g"),
+            F.sum(
+                F.when(20 * F.col("top2") >= 2 * F.col("n"), 1).otherwise(0)
+            ).cast("long").alias("repetitive_2g"),
+            F.sum("top1").cast("long").alias("sum_top1"),
+            F.sum("top2").cast("long").alias("sum_top2"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F16 gate: literal (non-regex) replace — the reference's watermark strip
 # and '[' -> '\n[' normalization (anle.py:223,253) as a corpus operator.
 # ---------------------------------------------------------------------------
