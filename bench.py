@@ -45,6 +45,7 @@ HEADLINE = [
     "text_stats_by_lang",
     "ann_cosine_topk",
     "ann_lsh_bucket_histogram",
+    "quality_repetition_stats",
 ]
 
 

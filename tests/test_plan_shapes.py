@@ -164,6 +164,13 @@ _BENCH_PLAN_EXPECT = {
     "ann_lsh_bucket_histogram": lambda p, n: (
         n["HashAggregate"] >= 2 and _shuffles(n) == 1
     ),
+    "quality_repetition_stats": lambda p, n: (
+        # two (doc_id, gram) partial-agg groupBys + doc_id joins + the
+        # final lang agg: pure Catalyst, no Python stage, no nested loop
+        n["HashAggregate"] >= 6
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
 }
 
 
