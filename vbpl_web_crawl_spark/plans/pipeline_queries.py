@@ -174,8 +174,8 @@ NGRAM_DF_CAP = 5
 _SHINGLES_SQL = f"""
   SELECT doc_id, shingle FROM (
     SELECT doc_id,
-           unnest([array_to_string(w[i : i + 2], ' ')
-                   for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingle
+           unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                   for i in generate_series(1, len(w) - 2)]) AS shingle
     FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
   ) GROUP BY doc_id, shingle
 """
@@ -191,10 +191,35 @@ _CAPPED_SHINGLES_SQL = f"""
 
 def capped_shingles(docs: DataFrame, k: int = 3, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """(doc_id, shingle) rows with hot shingles (document frequency >
-    df_cap) removed — the skew-bounded input to any shingle self-join."""
-    sh = docs.select(
-        "doc_id", F.explode(TX.word_shingles(F.col("text"), k)).alias("shingle")
-    ).distinct()
+    df_cap) removed — the skew-bounded input to any shingle self-join.
+
+    Shingles come from a lead() window over posexploded tokens, not an
+    array higher-order transform: per-element lambda evaluation cost
+    ~4x the whole pipeline at sf0.1 (6s vs 1.3s warm for the explode)
+    and that per-row constant is what survives a 100x scale-up; the
+    window's doc_id shuffle is small (short token strings) and its
+    partitioning feeds the downstream per-doc aggregations. Docs with
+    fewer than k tokens contribute NO shingles (identically in the
+    SQL oracle) — they are covered by the exact-dedup path."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stepped = tok.select(
+        "doc_id",
+        "g",
+        *[F.lead("g", i).over(w).alias(f"g{i}") for i in range(1, k)],
+    )
+    sh = (
+        stepped.filter(F.col(f"g{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "g", *[f"g{i}" for i in range(1, k)]).alias("shingle"),
+        )
+        .distinct()
+    )
     ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
