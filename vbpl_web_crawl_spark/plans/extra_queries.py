@@ -678,9 +678,7 @@ def q_range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "sessionize_events_gap",
-    """
+_SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -699,8 +697,10 @@ sess AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY 1, 2
-""",
-)
+"""
+
+
+@_register("sessionize_events_gap", _SESSIONIZE_SQL)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag -> boundary flag -> running sum = session id, then per-session
@@ -736,6 +736,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@_register("streaming_sessionize_gap", _SESSIONIZE_SQL)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful STREAMING operator with a full SQL oracle: the
+    applyInPandasWithState gap-sessionizer (streaming/sessions.py)
+    replays the events table with per-user flush sentinels, and its
+    append-only output must equal the BATCH sessionize query — so the
+    batch query's DuckDB oracle gates the streaming engine too
+    (per-user scalar state, no event buffer; sessions emit exactly
+    when a gap or the sentinel closes them)."""
+    import os
+    import shutil
+    import tempfile
+
+    from vbpl_web_crawl_spark.streaming.sessions import (
+        streaming_sessionize,
+        write_replay_with_sentinels,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sess_gate_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    write_replay_with_sentinels(events, src)
+    return streaming_sessionize(spark, src, f"sess_gate_{os.getpid()}")
 
 
 @_register(
