@@ -1516,10 +1516,11 @@ FROM reach GROUP BY node
 @_register("dedup_connected_components", _CC_ORACLE)
 def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse verified MinHash near-dup PAIRS into dedup CLUSTERS:
-    hash-min label propagation (operators/graph.py), one shuffle join
-    + one agg per round, driver-coordinated like MLlib iterations.
-    n_reachable (component closure size per node) rides along so the
-    gate checks the full component structure, not just labels."""
+    alternating large-star/small-star contraction (operators/graph.py,
+    Kiveris SoCC'14 — O(log d) rounds), driver-coordinated like MLlib
+    iterations. n_reachable (component closure size per node) rides
+    along so the gate checks the full component structure, not just
+    labels."""
     from vbpl_web_crawl_spark.operators.graph import connected_components
     from vbpl_web_crawl_spark.plans.queries import QUERIES
 
@@ -1589,3 +1590,43 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = exact_quantiles(orders, "o_totalprice", [0.5, 0.9, 0.99], direct_limit=1000)
     rows = [(q, got[q]) for q in (0.5, 0.9, 0.99)]
     return spark.createDataFrame(rows, "q double, v double")
+
+
+@_register(
+    "dedup_corpus_keep_one",
+    f"""
+WITH cc AS ({_CC_ORACLE})
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(count(cc.doc_id) AS BIGINT) AS n_in_clusters,
+       CAST(sum(CASE WHEN cc.doc_id IS NOT NULL AND cc.doc_id <> cc.cluster_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+GROUP BY d.lang
+""",
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: keep ONE representative per
+    near-dup cluster (the component-min doc, i.e. cluster_id) and drop
+    the rest — reported per language as kept/dropped counts so the
+    gate certifies the selection rule, not just the clusters. Chains
+    pairs -> star-contraction components -> representative filter;
+    docs outside any cluster are kept by definition."""
+    from vbpl_web_crawl_spark.plans.queries import QUERIES
+
+    cc = QUERIES["dedup_connected_components"](spark, sf_dir).select(
+        F.col("doc_id"), F.col("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = docs.join(cc, "doc_id", "left")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster_id").alias("n_in_clusters"),
+        F.sum(
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_dropped"),
+    )
