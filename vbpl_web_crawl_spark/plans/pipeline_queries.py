@@ -1630,3 +1630,77 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (operators/bpe.py). The SQL-expressible stage — the
+# first-iteration merge candidates (adjacent char-pair counts weighted
+# by word frequency) — is oracle-gated; the iterative trainer and the
+# distributed encode are pytest-verified (classic Sennrich example +
+# reconstruction/determinism properties) and gated rows-only.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bpe_pair_counts",
+    f"""
+WITH words AS (
+  SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+),
+wf AS (SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT f,
+         unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+  FROM wf
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 20
+""",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 adjacent character pairs weighted by word frequency —
+    BPE's first-merge candidate table, computed corpus-wide: one
+    map-side-combinable word count, then pairs explode off the BOUNDED
+    word-type table (never off raw tokens). Deterministic tie order
+    (count desc, pair asc) makes the LIMIT exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # explode positions 1..len-1 (len >= 2 guaranteed by the filter,
+    # so the sequence is never descending)
+    pairs = (
+        wf.select(
+            "w", "f", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "f")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@_register("bpe_token_count_stats", None)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE: train 50 merges on the corpus's top-20k word
+    types (distributed frequency agg -> bounded driver-side merge
+    loop), then count BPE tokens per language with the distributed
+    memoized encoder. Deterministic at any partitioning (pytest);
+    non-SQL-expressible (iterative trainer) -> rows-only gate."""
+    from vbpl_web_crawl_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+    merges = train_bpe(word_frequencies(toks, top_v=20_000), n_merges=50)
+    return bpe_token_counts(docs, merges, _tokens(F.col("text")), ["lang"])
