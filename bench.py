@@ -84,12 +84,33 @@ def run_crawl(spark) -> dict:
         wall = time.time() - t0
         visits = manifest["total_visits"]
         rounds = manifest["round"]
+        # per-round wall decomposition: every round's manifest persists
+        # (manifest-<round>.json, fresh names), each carrying a `decomp`
+        # record — so artifact-vs-artifact comparisons can attribute a
+        # throughput move to fetch-stage wall, expand wall, checkpoint
+        # I/O, pacing sleep, or residual driver/planning time, instead
+        # of being confounded by host windows
+        decomp: dict[str, float] = {}
+        per_round: list[dict] = []
+        for name in sorted(os.listdir(ckpt)):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(ckpt, name)) as f:
+                    d = json.load(f).get("decomp")
+                if d:
+                    per_round.append(d)
+                    for k, v in d.items():
+                        decomp[k] = decomp.get(k, 0) + v
+        decomp_s = {
+            k.replace("_ms", "_s"): round(v / 1000.0, 2) for k, v in decomp.items()
+        }
         return {
             "pages_fetched": visits,
             "rounds": rounds,
             "wall_s": round(wall, 2),
             "pages_per_sec": round(visits / wall, 2),
             "rounds_per_hour": round(rounds / wall * 3600, 1),
+            "decomp_totals": decomp_s,
+            "decomp_rounds": per_round,
         }
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -152,6 +152,11 @@ class CrawlEngine:
             host: P.host_budget(r.get("crawl_delay", P.DEFAULT_CRAWL_DELAY), cfg.round_window_s)
             for host, r in cfg.robots.items()
         }
+        # pacing-sleep meter: the fetch UDF adds every token wait here, so
+        # each round's manifest records how much of its wall was sleep
+        # (politeness cost) vs engine work — artifact-vs-artifact bench
+        # comparisons stop being confounded by the pacing config/window
+        self._sleep_acc = spark.sparkContext.accumulator(0.0)
 
     # ---------------- state I/O ----------------
     #
@@ -219,12 +224,28 @@ class CrawlEngine:
             name, df = item
             df.coalesce(nfiles).write.mode("overwrite").parquet(self._log_dir(name, rnd))
 
+        t_ckpt = time.time()
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(write_live, live.items()))
         fsio.delete(self.spark, rdir)  # stale dir from a crashed attempt
         fsio.rename(self.spark, tmp, rdir)
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(write_delta, deltas.items()))
+        decomp = counters.get("decomp")
+        if decomp is not None:
+            # close out the round's wall decomposition before the commit
+            # so the manifest itself carries the attribution record
+            decomp["checkpoint_wall_ms"] = int((time.time() - t_ckpt) * 1000)
+            decomp["round_wall_ms"] = int(
+                (time.time() - decomp.pop("_t0")) * 1000
+            )
+            decomp["other_wall_ms"] = max(
+                decomp["round_wall_ms"]
+                - decomp.get("fetch_stage_wall_ms", 0)
+                - decomp.get("expand_wall_ms", 0)
+                - decomp["checkpoint_wall_ms"],
+                0,
+            )
         fsio.commit_manifest(self.spark, self.ckpt_dir, {"round": rnd, **counters})
         self._gc(rnd, counters.get("seen_base_round", -1))
 
@@ -320,6 +341,7 @@ class CrawlEngine:
         cfg_site = self.cfg.site
         in_cols = [f.name for f in FRONTIER_SCHEMA.fields] + ["visit_seq"]
         pace = self.cfg.pace_fetches
+        sleep_acc = self._sleep_acc  # closure must not capture self
         delay_by_host = {
             host: float(r.get("crawl_delay", P.DEFAULT_CRAWL_DELAY))
             for host, r in self.cfg.robots.items()
@@ -403,6 +425,7 @@ class CrawlEngine:
                         )
                         wait = ready[h] - now
                         if wait > 0:
+                            sleep_acc.add(wait)
                             time.sleep(wait)
                         i = queues[h].popleft()
                         if not queues[h]:
@@ -486,6 +509,8 @@ class CrawlEngine:
 
     def _run_round(self, rnd: int, state: dict[str, DataFrame], manifest: dict) -> dict:
         t0 = time.time()
+        sleep0 = self._sleep_acc.value
+        decomp: dict = {"_t0": t0}
         cfg = self.cfg
         next_seq = manifest["next_seq"]
         total_visits = manifest["total_visits"]
@@ -538,6 +563,7 @@ class CrawlEngine:
         )
 
         # 3. FETCH
+        t_fetch = time.time()
         fetched = self._fetch(scheduled).persist()
         stats = fetched.agg(
             F.count(F.lit(1)).alias("n"),
@@ -548,6 +574,10 @@ class CrawlEngine:
             ).alias("n_failed"),
         ).collect()[0]
         n_scheduled, n_failed = stats["n"], stats["n_failed"] or 0
+        # schedule + sequence + fetch all materialize in this first
+        # action on the persisted frame; the pacing sleep inside it is
+        # metered separately by the accumulator
+        decomp["fetch_stage_wall_ms"] = int((time.time() - t_fetch) * 1000)
 
         visit_rows = fetched.select(
             "visit_seq",
@@ -659,27 +689,38 @@ class CrawlEngine:
         # Bloom-prefiltered anti-join vs seen (retries pass: just deleted)
         admitted = SEEN.filter_unseen(
             candidates, seen_urls, sketches, cfg.n_seen_partitions, caches=caches
-        )
+        ).persist()
+        caches.append(admitted)
+
+        # count BEFORE sequencing: the count both drives the round's
+        # stop/pending accounting and tells the sequencer its exact input
+        # size, so small expansion rounds take the one-window path
+        # instead of paying a range shuffle + a second count job (the
+        # large parallel path kicks in unchanged past the threshold)
+        t_expand = time.time()
+        astats = admitted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("is_new") == 1).cast("long")).alias("n_new"),
+        ).collect()[0]
+        n_admitted, n_new = astats["n"], astats["n_new"] or 0
+        decomp["expand_wall_ms"] = int((time.time() - t_expand) * 1000)
 
         # assign discovery_seq to new links in canonical order — this is
         # the stream that scales with frontier expansion, so it MUST be
-        # the parallel sequencer, never a global window
+        # the parallel sequencer (never a global window) once n_new
+        # exceeds the sequencer's small-input threshold
         new_admits = SEQ.global_sequence(
             admitted.filter(F.col("is_new") == 1).drop("discovery_seq"),
             ["parent_visit_seq", "in_page_pos", "url"],
             seq_col="discovery_seq",
             start=next_seq,
+            approx_rows=n_new,
             caches=caches,
         )
         retry_admits = admitted.filter(F.col("is_new") == 0)
         admitted_final = new_admits.unionByName(retry_admits).select(
             [f.name for f in FRONTIER_SCHEMA.fields]
         ).persist()
-        astats = admitted_final.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("retry_count") == 0).cast("long")).alias("n_new"),
-        ).collect()[0]
-        n_admitted, n_new = astats["n"], astats["n_new"] or 0
 
         if n_admitted > 0 or n_failed > 0:
             sketches = SEEN.apply_sketch_delta(
@@ -728,11 +769,13 @@ class CrawlEngine:
         )
 
         compact = rnd % cfg.seen_compact_every == 0
+        decomp["pacing_sleep_ms"] = int((self._sleep_acc.value - sleep0) * 1000)
         counters = {
             "next_seq": next_seq + n_new,
             "total_visits": total_visits + n_scheduled,
             "pending": manifest.get("pending", n_scheduled) - n_scheduled + n_admitted,
             "seen_base_round": rnd if compact else base_round,
+            "decomp": decomp,
         }
         live = {
             "frontier": new_frontier,
