@@ -17,7 +17,7 @@ from vbpl_web_crawl_spark.plans.queries import get_oracles, get_queries
 def test_subsumed_excluded_but_supersets_present():
     gq = gate_queries()
     full = get_queries()
-    for sub, sup in SUBSUMED.items():
+    for sub, (sup, _rel) in SUBSUMED.items():
         assert sub in full, f"subsumed {sub} must stay internally registered"
         assert sub not in gq
         assert sup in gq, f"superset {sup} must be driver-facing"

@@ -96,3 +96,29 @@ def test_parquet_pointer_flip_keeps_previous_snapshot_readable(spark, tmp_path):
     _df(spark, [(9, "crash", 9)]).write.parquet(str(tmp_path / "tbl" / "v-99999999"))
     assert _state(t) == {1: ("a2", 2)}
     assert "v-99999999" not in t.snapshots()
+
+
+def test_fallback_no_pointerless_window_and_monotone_versions(spark, tmp_path):
+    """The commit protocol must never pass through a state with zero
+    committed pointers (the round-4 advice flagged the old single
+    `_current` delete-then-rename flip: a crash in between left the
+    table unreadable and restarted versioning at v-1 over the oldest
+    snapshot). With monotone `current-<n>` pointer files: committed
+    pointers are immutable, a crashed commit leaves only an orphan
+    data dir, and the retry numbers PAST every committed snapshot."""
+    import os
+
+    t = LakehouseTable.for_path(spark, str(tmp_path / "tbl"))
+    t.replace(_df(spark, [(1, "a", 1)]))
+    t.replace(_df(spark, [(1, "a2", 2)]))
+    root = str(tmp_path / "tbl")
+    pointers = sorted(p for p in os.listdir(root) if p.startswith("current-"))
+    assert pointers == ["current-00000001", "current-00000002"]  # both kept
+    # crash AFTER the data write, BEFORE the pointer commit:
+    _df(spark, [(9, "crash", 9)]).write.parquet(f"{root}/v-00000003")
+    assert _state(t) == {1: ("a2", 2)}  # readers unaffected, no window
+    # the retry (or any next commit) claims the orphan number, never v-1
+    t.replace(_df(spark, [(2, "b", 3)]))
+    assert t._current_dir().endswith("v-00000003")
+    assert _state(t) == {2: ("b", 3)}
+    assert spark.read.parquet(f"{root}/v-00000001").count() == 1  # intact

@@ -78,10 +78,19 @@ def _kth_smallest_multi(
     so recursion levels reuse the parent histogram's bucket count
     instead of re-scanning."""
     assert ks and 0 <= ks[0] and ks[-1] < n
-    if n <= direct_limit or depth >= 3:
+    if n <= direct_limit:
         # one job; brings <= direct_limit rows (~1.6 MB of doubles)
         rows = vals.orderBy("v").limit(ks[-1] + 1).collect()
         return {k: float(rows[k].v) for k in ks}
+    if depth >= 3:
+        # refinement exhausted on a value-heavy, non-constant bucket
+        # that is still > direct_limit: fetch each rank as ONE row
+        # (limit k+1, take the tail) — a job per rank, but never an
+        # unbounded prefix collect (an adversarial distribution could
+        # put millions of rows under a high rank here; round-4 advice)
+        return {
+            k: float(vals.orderBy("v").limit(k + 1).tail(1)[0].v) for k in ks
+        }
     lo, hi = vals.agg(F.min("v"), F.max("v")).first()
     if lo == hi:
         return {k: float(lo) for k in ks}

@@ -7,11 +7,21 @@ The driver's CORRECTNESS artifact records at most the FIRST
 larger than the window structurally starves the tail of
 driver-verified rows. Two fixes, per the round-3 verdict:
 
-1. CONSOLIDATE — gates whose result set is a strict subset of another
-   registered gate are dropped from the driver-facing view
-   (``SUBSUMED``): a green row for the superset query certifies the
-   subset computation too. The subsumed queries stay in the full
-   registry for bench.py and plan-shape tests.
+1. CONSOLIDATE — a gate is dropped from the driver-facing view
+   (``SUBSUMED``) only when a RESULT-LEVEL relation ties it to a
+   retained gate, and that relation is itself pinned by a pytest
+   (tests/test_gate_subsumption.py), so the implementations cannot
+   silently drift apart. What the green superset row certifies is the
+   shared machinery via the superset's own independent oracle — NOT a
+   subset relation on result sets (the round-4 advice caught the old
+   wording claiming one: candidate pairs are a SUPERSET of verified
+   pairs). Exact row-set equality of the dropped gate stays locally
+   verified every round by tools/check_correctness.py. Gates whose
+   relation to their would-be certifier is only "same algorithm,
+   different parameters" (fingerprint_simhash: 16-bit vs the pair
+   gate's 60-bit space; fingerprint_winnowing: per-doc fingerprint
+   table vs derived pair table) are NOT consolidated — they stay in
+   the rotation.
 
 2. ROTATE — remaining gates are ordered ascending by the round of
    their most recent driver-green artifact row (never-verified first,
@@ -32,13 +42,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 WINDOW = 50
 
-# gate -> superset gate whose green row certifies it; the subsumed
-# query remains registered internally (bench + plan-shape tests)
-SUBSUMED: dict[str, str] = {
-    "ann_cosine_topk": "ann_batch_topk",
-    "dedup_minhash_lsh_pairs": "dedup_minhash_verified_pairs",
-    "fingerprint_simhash": "dedup_simhash_hamming_pairs",
-    "fingerprint_winnowing": "dedup_winnowing_pairs",
+# dropped gate -> (certifying gate, tested result-level relation).
+# Each relation is asserted by tests/test_gate_subsumption.py at
+# sf0.01; the dropped query remains in the full internal registry
+# (bench.py, plan-shape tests, tools/check_correctness.py).
+SUBSUMED: dict[str, tuple[str, str]] = {
+    "ann_cosine_topk": (
+        "ann_batch_topk",
+        "batch query_id=0 top-3 == single-query top-10's first 3 rows "
+        "(same scorer; tail ranks 4-10 locally oracle-verified)",
+    ),
+    "dedup_minhash_lsh_pairs": (
+        "dedup_minhash_verified_pairs",
+        "verified pairs are a subset of the LSH candidate pairs (the "
+        "verify stage filters candidates; candidate precision is a "
+        "cost property, locally oracle-verified)",
+    ),
 }
 
 

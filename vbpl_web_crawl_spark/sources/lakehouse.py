@@ -16,11 +16,18 @@ which is exactly what the Iceberg backend issues. This sandbox has no
 Iceberg runtime (SURVEY.md §7 allows the fallback), so the default
 backend provides the same contract over parquet with Iceberg-style
 snapshot commits: every write lands in a fresh ``v-<n>`` directory and
-a ``_current`` pointer file is flipped via write-temp + atomic rename —
-readers never observe a half-written table, crashed writers leave the
-pointer untouched, and the previous snapshot stays readable (the same
-manifest-pointer-flip protocol the crawl checkpoints use,
-crawl/fsio.py). Both backends run the identical contract test suite
+is committed by writing a NEW monotonically-numbered pointer file
+``current-<n>`` (tmp-write + rename to a fresh name; readers take the
+highest committed pointer) — the exact manifest protocol the crawl
+checkpoints use (crawl/fsio.py). Committed pointers are never deleted
+or renamed-over, so readers never observe a half-written table, a
+writer crashing at ANY step leaves every committed snapshot readable,
+and the next commit always numbers PAST the last committed one (a
+crash can orphan only its own uncommitted ``v-<n>`` dir, which the
+retry overwrites — never a committed snapshot). The earlier
+delete-then-rename single-pointer flip had a crash window where no
+pointer existed and versioning restarted at 1 over the oldest
+snapshot (round-4 advice). Both backends run the identical contract test suite
 (tests/test_lakehouse.py); the Iceberg half auto-skips where no
 catalog is configured.
 
@@ -39,10 +46,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import re
+
 from vbpl_web_crawl_spark.crawl import fsio
 from vbpl_web_crawl_spark.operators.upsert import latest_wins, merge_upsert
 
-_POINTER = "_current"
+_POINTER_RE = re.compile(r"current-(\d+)")
 
 
 def iceberg_catalog_ready(spark: SparkSession, catalog: str) -> bool:
@@ -96,7 +105,7 @@ class LakehouseTable:
     def exists(self) -> bool:
         if self.name is not None:
             return bool(self.spark.catalog.tableExists(self.name))
-        return fsio.exists(self.spark, f"{self.path}/{_POINTER}")
+        return self._committed_version() is not None
 
     def read(self) -> DataFrame:
         if self.name is not None:
@@ -157,21 +166,43 @@ class LakehouseTable:
         return [v for v in vs if v <= cur]
 
     # ---------------- parquet snapshot commit ----------------
+    #
+    # fsio-manifest protocol: commit n = the existence of the file
+    # ``current-<n>`` (written tmp + rename-to-fresh-name, atomic on
+    # HDFS/local; on object stores the PUT of a new key is the commit).
+    # Committed pointer files are immutable and never deleted, so there
+    # is no instant at which a reader can find zero pointers once the
+    # first commit lands, and a crashed writer can never roll the
+    # version counter back over a committed snapshot.
+
+    def _committed_version(self) -> int | None:
+        best = None
+        for name in fsio.listdir(self.spark, self.path):
+            m = _POINTER_RE.fullmatch(name)
+            if m:
+                n = int(m.group(1))
+                best = n if best is None else max(best, n)
+        return best
 
     def _current_version(self) -> str:
-        return fsio.read_bytes(self.spark, f"{self.path}/{_POINTER}").decode()
+        n = self._committed_version()
+        if n is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.path}")
+        return f"v-{n:08d}"
 
     def _current_dir(self) -> str:
         return f"{self.path}/{self._current_version()}"
 
     def _commit_snapshot(self, df: DataFrame) -> None:
-        nxt = 1
-        if fsio.exists(self.spark, f"{self.path}/{_POINTER}"):
-            nxt = int(self._current_version()[2:]) + 1
+        cur = self._committed_version()
+        nxt = 1 if cur is None else cur + 1
         vname = f"v-{nxt:08d}"
+        # overwrite can only hit an ORPHAN dir left by a crashed commit
+        # of this same uncommitted version, never a committed snapshot
         df.write.mode("overwrite").parquet(f"{self.path}/{vname}")
-        tmp = f"{self.path}/{_POINTER}.tmp-{vname}"
+        final = f"{self.path}/current-{nxt:08d}"
+        tmp = f"{final}.tmp"
         fsio.write_bytes(self.spark, tmp, vname.encode())
-        if fsio.exists(self.spark, f"{self.path}/{_POINTER}"):
-            fsio.delete(self.spark, f"{self.path}/{_POINTER}", recursive=False)
-        fsio.rename(self.spark, tmp, f"{self.path}/{_POINTER}")
+        if fsio.exists(self.spark, final):  # retry of a crashed rename
+            fsio.delete(self.spark, final, recursive=False)
+        fsio.rename(self.spark, tmp, final)

@@ -41,55 +41,97 @@ GAP_US = 1800 * 1_000_000
 
 
 def _sessions_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Gap-sessionize one user's micro-batch, vectorized.
+
+    The group's rows can arrive as SEVERAL Arrow chunks (default 10k
+    rows each), so all chunks are concatenated BEFORE the sort — sorting
+    chunks independently mis-splits sessions whose rows span a chunk
+    boundary (round-4 advice). In-batch gap detection is numpy
+    (diff > gap -> session starts -> boundary indices); Python touches
+    only the O(#sessions) segment bookkeeping and the state carry, never
+    per-row.
+    """
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
         last_us, sid, n, start_us = state.get
     else:
         last_us = sid = n = start_us = None
-    out = []
 
-    def close():
-        out.append(
-            (
-                user_id,
-                sid,
-                n,
-                pd.Timestamp(start_us, unit="us"),
-                pd.Timestamp(last_us, unit="us"),
-            )
-        )
+    chunks = list(pdfs)
+    if not chunks:  # NoTimeout => data always present; belt-and-braces
+        if state.exists:
+            state.update(state.get)
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    pdf = pdf.sort_values(["flush", "ts", "event_id"])
+    flush_mask = pdf["flush"].fillna(False).to_numpy(dtype=bool)
+    has_flush = bool(flush_mask.any())
+    ts_us = (
+        pdf.loc[~flush_mask, "ts"]
+        .to_numpy(dtype="datetime64[us]")
+        .astype(np.int64)
+    )
+    n_ev = ts_us.size
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["flush", "ts", "event_id"])
-        for row in pdf.itertuples(index=False):
-            if bool(row.flush):
-                if sid is not None:
-                    close()
-                    last_us = sid = n = start_us = None
-                continue
-            ts_us = int(pd.Timestamp(row.ts).value) // 1000
-            if sid is None:
-                sid, n, start_us = 1, 1, ts_us
-            elif ts_us - last_us > GAP_US:
-                close()
-                sid, n, start_us = sid + 1, 1, ts_us
-            else:
-                n += 1
-            last_us = ts_us
+    # closed sessions, in ascending-sid order (columnar builders)
+    out_sid: list = []
+    out_n: list = []
+    out_start: list = []
+    out_last: list = []
+
+    if n_ev:
+        # prev[i] = event time before row i; for row 0 that is the
+        # carried last_us, or a forced-gap sentinel when no session is
+        # open (so row 0 registers as a session start)
+        first_prev = last_us if sid is not None else ts_us[0] - GAP_US - 1
+        prev = np.concatenate(([first_prev], ts_us[:-1]))
+        starts = np.flatnonzero((ts_us - prev) > GAP_US)
+        if sid is not None and (starts.size == 0 or starts[0] != 0):
+            # leading rows continue the open session
+            pref_end = int(starts[0]) if starts.size else n_ev
+            n += pref_end
+            last_us = int(ts_us[pref_end - 1])
+        if starts.size:
+            if sid is not None:  # a new session closes the open one
+                out_sid.append(sid)
+                out_n.append(n)
+                out_start.append(start_us)
+                out_last.append(last_us)
+            ends = np.append(starts[1:], n_ev)
+            sids = (sid or 0) + 1 + np.arange(starts.size, dtype=np.int64)
+            counts = ends - starts
+            sstart = ts_us[starts]
+            slast = ts_us[ends - 1]
+            # all but the last segment are closed by construction
+            out_sid.extend(sids[:-1].tolist())
+            out_n.extend(counts[:-1].tolist())
+            out_start.extend(sstart[:-1].tolist())
+            out_last.extend(slast[:-1].tolist())
+            sid, n = int(sids[-1]), int(counts[-1])
+            start_us, last_us = int(sstart[-1]), int(slast[-1])
+
+    if has_flush and sid is not None:  # sentinel closes the open session
+        out_sid.append(sid)
+        out_n.append(n)
+        out_start.append(start_us)
+        out_last.append(last_us)
+        last_us = sid = n = start_us = None
+
     if sid is None:
         state.remove()
     else:
-        state.update((last_us, sid, n, start_us))
-    if out:
+        state.update((int(last_us), int(sid), int(n), int(start_us)))
+    if out_sid:
         yield pd.DataFrame(
-            out,
-            columns=[
-                "user_id",
-                "session_id",
-                "n_events",
-                "session_start",
-                "session_end",
-            ],
+            {
+                "user_id": np.full(len(out_sid), user_id, dtype=np.int64),
+                "session_id": np.asarray(out_sid, dtype=np.int64),
+                "n_events": np.asarray(out_n, dtype=np.int64),
+                "session_start": pd.to_datetime(out_start, unit="us"),
+                "session_end": pd.to_datetime(out_last, unit="us"),
+            }
         )
 
 
