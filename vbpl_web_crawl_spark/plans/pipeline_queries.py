@@ -15,6 +15,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1802,13 +1804,77 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("bpe_token_count_stats", None)
+def _sq(s: str) -> str:
+    """SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_stats_oracle() -> str | None:
+    """Lazy DuckDB oracle for bpe_token_count_stats.
+
+    The merge list is a deterministic corpus artifact, so the oracle
+    re-derives it WITHOUT Spark: the word-frequency table via DuckDB
+    (same _TOKENS_SQL, same (freq desc, word asc) top-20k cut) through
+    the same pure-Python trainer (operators/bpe.train_bpe) the Spark
+    query uses. The encode is then pure SQL: tokens are whitespace-split
+    so a SPACE can never occur inside a symbol — represent a word as
+    ' c  h  a  r  s  </w> ' (every symbol wrapped in single spaces) and
+    each merge (a, b) becomes replace(s, ' a  b ', ' ab '): SQL replace
+    scans left-to-right non-overlapping, exactly the merge pass's
+    semantics, and the wrapping spaces make it impossible to match a
+    symbol substring. Token count = half the space count of the final
+    string. SF resolves from $SPARK_GRAFT_SF_DIR like the checker, so
+    the inlined merges always match the corpus under test."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    return _bpe_oracle_cached(os.path.join(sf_dir, "documents.parquet"))
+
+
+@functools.lru_cache(maxsize=4)
+def _bpe_oracle_cached(doc_path: str) -> str | None:
+    import os
+
+    import duckdb
+
+    from vbpl_web_crawl_spark.operators.bpe import train_bpe
+
+    if not os.path.exists(doc_path):
+        return None
+    con = duckdb.connect()
+    wf = con.execute(
+        f"""
+        SELECT w, count(*) AS f
+        FROM (SELECT unnest({_TOKENS_SQL}) AS w
+              FROM read_parquet({_sq(doc_path)}))
+        GROUP BY w ORDER BY f DESC, w ASC LIMIT 20000
+        """
+    ).fetchall()
+    merges = train_bpe([(w, int(f)) for w, f in wf], n_merges=50)
+    expr = "regexp_replace(w, '(.)', ' \\1 ', 'g') || ' </w> '"
+    for a, b in merges:
+        expr = f"replace({expr}, {_sq(f' {a}  {b} ')}, {_sq(f' {a}{b} ')})"
+    return f"""
+WITH words AS (SELECT lang, unnest({_TOKENS_SQL}) AS w FROM documents),
+enc AS (
+  SELECT lang, (length(m) - length(replace(m, ' ', ''))) // 2 AS n_bpe
+  FROM (SELECT lang, {expr} AS m FROM words)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+FROM enc GROUP BY lang
+"""
+
+
+@_register("bpe_token_count_stats", _bpe_stats_oracle)
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BPE: train 50 merges on the corpus's top-20k word
     types (distributed frequency agg -> bounded driver-side merge
     loop), then count BPE tokens per language with the distributed
-    memoized encoder. Deterministic at any partitioning (pytest);
-    non-SQL-expressible (iterative trainer) -> rows-only gate."""
+    memoized encoder. Deterministic at any partitioning (pytest).
+    Oracle: lazily-built SQL that inlines the deterministically
+    re-derived merge table and replays the encode as nested replace()
+    calls (see _bpe_stats_oracle)."""
     from vbpl_web_crawl_spark.operators.bpe import (
         bpe_token_counts,
         train_bpe,

@@ -26,10 +26,15 @@ from vbpl_web_crawl_spark.sources.tables import load_table
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# value: the DuckDB oracle SQL, or a zero-arg callable producing it
+# lazily (for oracles that inline corpus-derived deterministic
+# artifacts, e.g. the learned BPE merge table). A callable returning
+# None (or raising) downgrades that query to rows-only instead of
+# breaking the whole oracle dict.
+ORACLES: dict[str, str | Callable[[], str | None]] = {}
 
 
-def _register(name: str, oracle: str | None):
+def _register(name: str, oracle: str | Callable[[], str | None] | None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
@@ -610,4 +615,13 @@ def get_queries() -> dict[str, QueryFn]:
 def get_oracles() -> dict[str, str]:
     from vbpl_web_crawl_spark.plans import extra_queries, pipeline_queries  # noqa: F401
 
-    return dict(ORACLES)
+    out: dict[str, str] = {}
+    for name, sql in ORACLES.items():
+        if callable(sql):
+            try:
+                sql = sql()
+            except Exception:  # lazy builder failed -> rows-only gate
+                sql = None
+        if sql is not None:
+            out[name] = sql
+    return out
