@@ -128,12 +128,16 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] == 0
     ),
     "dedup_winnowing_pairs": lambda p, n: (
-        # per-doc window min computed ONCE (persisted: both the DF-cap
-        # agg and the pairing read InMemoryTableScan), hot fps dropped
-        # via an equi-join, then pairs explode inside <=cap-sized fp
-        # buckets — no self-join, never a nested loop over doc pairs
-        n["Window"] >= 1
-        and n["InMemoryTableScan"] >= 2
+        # fingerprints come from the vectorized mapInPandas rolling
+        # pass, materialized ONCE via localCheckpoint (both the DF-cap
+        # agg and the pairing read the checkpointed RDD scan): NO
+        # per-char explode, NO per-doc Window shuffle anywhere in the
+        # plan; hot fps dropped via an equi-join, then pairs explode
+        # (Generate) inside <=cap-sized fp buckets — no self-join,
+        # never a nested loop over doc pairs
+        n["Window"] == 0
+        and n["Scan"] >= 2
+        and n["Generate"] >= 1
         and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
         and n["BroadcastNestedLoopJoin"] == 0
     ),
