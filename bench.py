@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucket_histogram",
     "quality_repetition_stats",
+    "dup_span_coverage",
 ]
 
 

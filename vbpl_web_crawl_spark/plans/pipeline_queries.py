@@ -1885,3 +1885,257 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
     merges = train_bpe(word_frequencies(toks, top_v=20_000), n_merges=50)
     return bpe_token_counts(docs, merges, _tokens(F.col("text")), ["lang"])
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the exact-substring signal, at
+# n-gram granularity): for every 5-word span position in every doc,
+# is that span present in >= 2 distinct documents? Per-language
+# summary of how much of the corpus is duplicated text.
+#
+# Scale design: span keys are 60-bit md5-prefix ints (8-byte shuffle
+# keys, identical semantics in the DuckDB oracle including any
+# collision), never the span strings; the two aggregations are
+# (doc,span)-count then span-doc-frequency, both with map-side
+# combine; document bodies never shuffle. All statistics are exact
+# integers (coverage threshold compared by cross-multiplication), so
+# the value hash cannot drift between engines.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 5
+
+_SPAN_HASH_SQL = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
+
+
+@_register(
+    "dup_span_coverage",
+    f"""
+WITH base AS (SELECT doc_id, lang, {_TOKENS_SQL} AS w FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4]
+                 for i in generate_series(1, len(w) - {DUP_SPAN_K - 1})]) AS gram
+  FROM base
+),
+dg AS (
+  SELECT doc_id, lang, {_SPAN_HASH_SQL} AS h, count(*) AS c
+  FROM g GROUP BY doc_id, lang, {_SPAN_HASH_SQL}
+),
+dft AS (SELECT h, count(*) AS df FROM dg GROUP BY h),
+pd AS (
+  SELECT doc_id, lang,
+         CAST(sum(c) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+  FROM dg JOIN dft USING (h) GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS total_spans,
+       CAST(sum(n_dup) AS BIGINT) AS dup_spans,
+       CAST(sum(CASE WHEN 2 * n_dup >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+         AS half_dup_docs
+FROM pd GROUP BY lang
+""",
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language duplicated-span coverage: total 5-word span
+    positions, positions whose span occurs in >= 2 distinct docs, and
+    docs that are >= 50% duplicated text (2*n_dup >= n_spans — integer
+    cross-multiplication). Docs shorter than 5 tokens contribute no
+    spans and drop out of n_docs IDENTICALLY on both engines.
+
+    Reference analog: the reference stores raw page text with no
+    dedup; this is the corpus-hygiene signal a training pipeline runs
+    over the crawl output before exact-substring dedup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = DUP_SPAN_K
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stepped = tok.select(
+        "doc_id",
+        "lang",
+        "g",
+        *[F.lead("g", i).over(w).alias(f"g{i}") for i in range(1, k)],
+    )
+    spans = stepped.filter(F.col(f"g{k - 1}").isNotNull()).select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", "g", *[f"g{i}" for i in range(1, k)])), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    dg = spans.groupBy("doc_id", "lang", "h").agg(F.count(F.lit(1)).alias("c"))
+    dft = dg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pd_ = (
+        dg.join(dft, "h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, F.col("c")).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return pd_.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_spans").alias("total_spans"),
+        F.sum("n_dup").alias("dup_spans"),
+        F.sum(
+            F.when(2 * F.col("n_dup") >= F.col("n_spans"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("half_dup_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring (CCNet-style quality signal, integer-
+# exact formulation): rank documents by the mean corpus frequency of
+# their tokens — rare-vocabulary docs (low mean frequency) at the top.
+# Equivalent ordering signal to mean unigram log-probability, but every
+# aggregate is an exact integer (sum over positions of the global token
+# count), and the only float op is ONE correctly-rounded int/int
+# division per doc — bit-identical across engines, no transcendentals
+# (java Math.log vs libm log differ in the last ulp).
+#
+# Scale design: per-(doc,token) counts first (map-side combine shrinks
+# the explode by the in-doc repetition factor), then an 8-byte-friendly
+# token-keyed join against the global frequency table; bodies never
+# shuffle; final top-k is a TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lm_unigram_rarity_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+dwc AS (SELECT doc_id, lang, w, count(*) AS c_dt FROM tok GROUP BY doc_id, lang, w),
+pd AS (
+  SELECT doc_id, lang,
+         CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+         CAST(sum(c_dt * c) AS BIGINT) AS sum_freq
+  FROM dwc JOIN wc USING (w) GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, sum_freq,
+       CAST(sum_freq AS DOUBLE) / n_tokens AS mean_freq
+FROM pd
+ORDER BY mean_freq ASC, doc_id ASC
+LIMIT 10
+""",
+)
+def q_lm_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 rarest-vocabulary documents by mean corpus token
+    frequency (ascending; doc_id tiebreak). sum_freq = sum over token
+    positions of that token's global count — exact integers end to
+    end; mean_freq is one int/int IEEE division, so the value hash
+    matches the oracle bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    dwc = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c_dt"))
+    pd_ = (
+        dwc.join(wc, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.sum(F.col("c_dt") * F.col("c")).alias("sum_freq"),
+        )
+    )
+    return (
+        pd_.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias("mean_freq"),
+        )
+        .orderBy(F.col("mean_freq").asc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source (linear unsmoothed idf = N/df, so the
+# score is (tf*N)/df — two exact-int operands and ONE float division;
+# no log, bit-identical across engines). Classic corpus-exploration
+# operator: which terms characterize each crawl source.
+#
+# Scale design: tf = (source, term) agg with map-side combine; df =
+# per-doc-distinct then term agg; the tf-df join shuffles only the
+# term-keyed aggregate tables; the scalar doc count broadcasts; top-3
+# per source is a bounded window (WindowGroupLimit pushes the rank
+# filter below the sort at the exec level).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tfidf_top_terms_by_source",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKENS_SQL}) AS w FROM documents
+),
+tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY source, w),
+dfq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+s AS (
+  SELECT source, w AS term, tf, df,
+         CAST(tf * nd AS DOUBLE) / df AS score,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(tf * nd AS DOUBLE) / df DESC, w ASC
+         ) AS rn
+  FROM tf JOIN dfq USING (w) CROSS JOIN nd
+)
+SELECT source, term, tf, df, score FROM s WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per source by tf-idf (tf * N/df, term-asc tiebreak).
+    The crossJoin is against a broadcast single-row doc count —
+    a scalar, never a cartesian blowup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = (
+        tok.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = docs.select(F.countDistinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(dfq, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("nd")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
