@@ -225,12 +225,21 @@ class CrawlEngine:
             df.coalesce(nfiles).write.mode("overwrite").parquet(self._log_dir(name, rnd))
 
         t_ckpt = time.time()
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(write_live, live.items()))
-        fsio.delete(self.spark, rdir)  # stale dir from a crashed attempt
-        fsio.rename(self.spark, tmp, rdir)
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(write_delta, deltas.items()))
+        # ONE pool, one barrier: delta writes overlap the live writes
+        # (they land in independent per-round dirs; the manifest commit
+        # below is the only visibility point, so a crash mid-write still
+        # leaves readers on the previous round either way). The live
+        # rename waits only on the live futures.
+        n_jobs = len(live) + len(deltas)
+        with ThreadPoolExecutor(max_workers=max(n_jobs, 1)) as pool:
+            live_futs = [pool.submit(write_live, it) for it in live.items()]
+            delta_futs = [pool.submit(write_delta, it) for it in deltas.items()]
+            for fut in live_futs:
+                fut.result()
+            fsio.delete(self.spark, rdir)  # stale dir from a crashed attempt
+            fsio.rename(self.spark, tmp, rdir)
+            for fut in delta_futs:
+                fut.result()
         decomp = counters.get("decomp")
         if decomp is not None:
             # close out the round's wall decomposition before the commit
@@ -467,7 +476,12 @@ class CrawlEngine:
             # first commit, so wiping is safe there too.
             if fsio.exists(self.spark, self.ckpt_dir):
                 fsio.delete(self.spark, self.ckpt_dir)
-            frontier = self.seed_frontier()
+            # persisted: the seed frontier has FOUR consumers below (the
+            # sketch cogroup, the live write, two delta writes) and its
+            # lineage re-derives the synthetic seed list each time —
+            # measured 26s -> ~12s on the bench-shape replay's pre-round
+            # wall (the dominant outside-round term in the decomposition)
+            frontier = self.seed_frontier().persist()
             empty_seen = self.spark.createDataFrame([], "url_hash long, partition_id int")
             _, sketches = SEEN.add_to_seen(
                 frontier,
@@ -498,6 +512,7 @@ class CrawlEngine:
                 "seen_base_round": -1,
             }
             self._write_state(0, live, deltas, counters)
+            frontier.unpersist()
             manifest = {"round": 0, **counters}
 
         rnd = manifest["round"]
