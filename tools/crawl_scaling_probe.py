@@ -25,7 +25,7 @@ so the fetch stage carries real CPU (image synth + encode) instead of
 being pure job-scheduling latency.
 
 Usage: python tools/crawl_scaling_probe.py <cpus> [n_pages]
-           [docs_per_page] [reps]
+           [docs_per_page] [reps] [mirrors]
 """
 
 from __future__ import annotations
@@ -48,11 +48,13 @@ from vbpl_web_crawl_spark.sources import synth_site as SITE  # noqa: E402
 SLOTS = 16
 SEEN_PARTS = 16
 SHUFFLE_PARTS = 32
+FETCH_PARTS = 64
 
 
 def run_once(spark) -> tuple[dict, dict]:
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     docs = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    mirrors = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     ckpt = tempfile.mkdtemp(prefix="crawl_scale_")
     try:
         cfg = CrawlConfig(
@@ -61,10 +63,20 @@ def run_once(spark) -> tuple[dict, dict]:
                 docs_per_page=docs,
                 related_per_doc=2,
                 max_attachments=2,
+                n_mirrors=mirrors,
             ),
+            # mirrors multiply the HOST count at fixed per-host
+            # politeness — the production parallelism axis (a bigger
+            # cluster crawls more hosts, never one host harder). With
+            # mirrors > 1 the fetch stage gets mirrors*2*SLOTS
+            # independent (host,salt) units spread over FETCH_PARTS
+            # pinned tasks, so the N->4N pair measures executor
+            # scaling instead of the 2-host replay's politeness bound.
+            robots=SITE.mirrored_robots(SITE.ROBOTS, mirrors),
             round_window_s=3600.0,  # engine-bound: measure work, not sleeps
             n_seen_partitions=SEEN_PARTS,
             per_host_slots=SLOTS,
+            fetch_partitions=FETCH_PARTS if mirrors > 1 else None,
         )
         eng = CrawlEngine(spark, cfg, ckpt)
         t0 = time.time()
@@ -92,7 +104,7 @@ def run_once(spark) -> tuple[dict, dict]:
 
 def main() -> None:
     if len(sys.argv) < 2:
-        print("usage: crawl_scaling_probe.py <cpus> [n_pages] [docs] [reps]",
+        print("usage: crawl_scaling_probe.py <cpus> [n_pages] [docs] [reps] [mirrors]",
               file=sys.stderr)
         raise SystemExit(2)
     cpus = int(sys.argv[1])

@@ -118,6 +118,15 @@ class CrawlConfig:
     max_rounds: int = 1000
     n_seen_partitions: int = 8
     per_host_slots: int = 8  # hot-host salt fan-out (reference: 8 threads)
+    # task count for the fetch stage. None keeps the historical default
+    # (= per_host_slots, right for the 1-2-host replays the tests pin).
+    # On a many-host frontier set it >= cores: the per-host concurrency
+    # cap is enforced by the SALT (<= per_host_slots distinct
+    # (host,salt) keys per host, each in exactly one partition), so
+    # more partitions never exceed a host's cap — they only spread
+    # DIFFERENT hosts across executors, which is where crawl
+    # parallelism comes from at production host counts.
+    fetch_partitions: int | None = None
     bloom_bits: int = 1 << 20
     cuckoo_buckets: int = 1 << 14
     # files per checkpointed table: 1 at test scale; set to the cluster's
@@ -456,7 +465,7 @@ class CrawlEngine:
         # host-salted repartition: bounds per-host concurrency while
         # spreading a hot host over per_host_slots tasks
         salted = scheduled.repartition(
-            max(self.cfg.per_host_slots, 1),
+            max(self.cfg.fetch_partitions or self.cfg.per_host_slots, 1),
             F.col("host"),
             F.pmod(F.col("url_hash"), F.lit(self.cfg.per_host_slots)),
         )

@@ -2139,3 +2139,188 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-authority ranking (PageRank) over the part<->supplier supply
+# graph — the frontier-prioritization operator a web-scale crawl runs
+# over its link graph (the reference crawls strictly breadth-first).
+# Integer-exact: see operators/graph.py pagerank. The oracle replays
+# the same 5 power iterations as unrolled SQL CTEs — bit-identical
+# because every op is 64-bit integer division/multiplication.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_MASS = 1_000_000
+
+
+def _pagerank_oracle() -> str:
+    base = 15 * PAGERANK_MASS // 100
+    ctes = [
+        """edges AS (
+  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM lineitem
+)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT DISTINCT src AS node FROM edges)",
+        f"r0 AS (SELECT node, CAST({PAGERANK_MASS} AS BIGINT) AS rank FROM n)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) m ON n.node = m.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS node_id,
+       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       rank
+FROM r{PAGERANK_ITERS}
+ORDER BY rank DESC, node_id ASC
+LIMIT 20
+"""
+    )
+
+
+@_register("pagerank_supply_graph", _pagerank_oracle())
+def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by integer-exact PageRank over the undirected
+    part<->supplier multigraph from lineitem (node id = 2*partkey for
+    parts, 2*suppkey+1 for suppliers; parallel edges contribute once
+    each, exactly as in the oracle's UNION ALL)."""
+    from vbpl_web_crawl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    fwd = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, n_iter=PAGERANK_ITERS, mass=PAGERANK_MASS)
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting as pure Catalyst expressions, with the
+# SAME register computation replayed in SQL — the mergeable-sketch way
+# a crawl meters distinct URLs per host at 10^10 scale (the exact
+# count rides along to exhibit the estimator error honestly).
+#
+# Parity design: the register maximum is an integer (md5-keyed bucket,
+# rho from the bit length of the remaining 52-bit window), and the
+# harmonic denominator is an EXACT integer Σ 2^(54-m_j) (terms with
+# m > 54 truncate to 0 identically in both engines; absent registers
+# contribute 2^54 each via the (256 - count) closed form). The only
+# float op is the final constant/denominator division, so the value
+# hash matches bit-for-bit. No correction branches (raw HLL
+# estimator): corrections need ln(), and transcendentals differ in
+# the last ulp between java.lang.Math and libm.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers; standard error ~ 1.04/sqrt(256) = 6.5%
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 54)
+
+
+@_register(
+    "hll_distinct_users_by_type",
+    f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+         user_id
+  FROM events
+),
+b AS (
+  SELECT event_type, user_id, hv % {HLL_M} AS bucket, hv // {HLL_M} AS w
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m
+  FROM b GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_registers_set,
+         CAST(sum(CASE WHEN m <= 54 THEN 1::BIGINT << (54 - m) ELSE 0 END)
+              AS BIGINT) AS s_set
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact, agg.n_registers_set,
+       CAST(agg.s_set + ({HLL_M} - agg.n_registers_set)
+            * (1::BIGINT << 54) AS BIGINT) AS harmonic_denom,
+       {_HLL_NUMERATOR!r} / (agg.s_set + ({HLL_M} - agg.n_registers_set)
+            * (1::BIGINT << 54)) AS hll_estimate
+FROM ex JOIN agg USING (event_type)
+""",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact count alongside the
+    256-register HyperLogLog estimate, registers computed with pure
+    Catalyst expressions (no UDF). The groupBy(type, bucket) max is
+    the mergeable-sketch shape: at 10^10 rows the shuffle carries at
+    most 256 register rows per group, never user ids."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    b = h.select(
+        "event_type",
+        "user_id",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    )
+    regs = b.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 53).otherwise(53 - F.length(F.bin("w")))
+        ).alias("m")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        F.sum(
+            F.when(
+                F.col("m") <= 54,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - m AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("s_set"),
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    denom = F.col("s_set") + (HLL_M - F.col("n_registers_set")) * F.lit(1 << 54)
+    return ex.join(agg, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_registers_set",
+        denom.cast("long").alias("harmonic_denom"),
+        (F.lit(_HLL_NUMERATOR) / denom).alias("hll_estimate"),
+    )

@@ -20,6 +20,7 @@ pure-Python oracle in crawl/oracle.py) see the identical graph.
 
 from __future__ import annotations
 
+import re
 import zlib
 from dataclasses import dataclass, field
 
@@ -53,6 +54,15 @@ class SiteConfig:
     # half of those carry an ItemID, half are title-only and must be
     # resolved through the portal search (vbpl.py:727-749). 0 disables.
     docmap_every: int = 5
+    # mirror universes: mirror 0 = the base hosts unchanged; mirrors
+    # 1..n-1 serve the SAME page graph on hosts m<k>.vbpl.vn /
+    # m<k>.files.vbpl.vn with every in-page link rewritten onto the
+    # mirror, so the crawls are fully disjoint. This is the scaling
+    # probe's host-count axis: per-host politeness (crawl-delay,
+    # slots) is a hard per-host bound, so executor scaling at
+    # production is delivered by the number of HOSTS in the frontier,
+    # not by deeper per-host concurrency — exactly what mirrors model.
+    n_mirrors: int = 1
 
 
 @dataclass
@@ -148,16 +158,56 @@ def doc_id_for(cfg: SiteConfig, doc_class: str, page: int, pos: int) -> int:
 
 def seed_urls(cfg: SiteConfig) -> list[tuple[str, str]]:
     """(url, doc_type) seed list: all listing pages, both classes —
-    phap_quy pages first (reference phase order), then hop_nhat."""
-    return [
+    phap_quy pages first (reference phase order), then hop_nhat; with
+    mirrors, the base universe's seeds first, then each mirror's."""
+    base = [
         (listing_url(dc, p), "listing")
         for dc in DOC_CLASSES
         for p in range(1, cfg.n_pages + 1)
     ]
+    out = list(base)
+    for k in range(1, max(cfg.n_mirrors, 1)):
+        out.extend(
+            (u.replace("https://", f"https://m{k}.", 1), t) for u, t in base
+        )
+    return out
+
+
+def mirrored_robots(robots: dict, n_mirrors: int) -> dict:
+    """Robots table covering every mirror host (same policy as its
+    base host)."""
+    out = dict(robots)
+    for k in range(1, max(n_mirrors, 1)):
+        for host, pol in robots.items():
+            out[f"m{k}.{host}"] = pol
+    return out
+
+
+_MIRROR_RE = re.compile(r"^https://m(\d+)\.")
 
 
 def fetch(cfg: SiteConfig, url: str, attempt: int = 0) -> Page:
-    """Pure synthetic fetch. ``attempt`` drives deterministic faults."""
+    """Pure synthetic fetch. ``attempt`` drives deterministic faults.
+
+    Mirror hosts (m<k>.…) serve the base universe's page for the
+    de-prefixed URL with every link rewritten back onto the mirror, so
+    each mirror is a disjoint copy of the page graph."""
+    m = _MIRROR_RE.match(url)
+    if m:
+        pref = f"m{m.group(1)}."
+        base = fetch(cfg, url.replace(f"https://{pref}", "https://", 1), attempt)
+        return Page(
+            url,
+            base.status,
+            base.kind,
+            [
+                (u.replace("https://", f"https://{pref}", 1), t, p)
+                for u, t, p in base.links
+            ],
+            caption=base.caption,
+            image_id=(pref + base.image_id) if base.image_id else None,
+            fulltext=base.fulltext,
+        )
     if "/listing/" in url:
         doc_class, page_s = url.rsplit("/", 2)[-2:]
         page = int(page_s)
