@@ -123,3 +123,24 @@ def test_tfidf_no_cartesian_blowup(spark):
     df = get_queries()["tfidf_top_terms_by_source"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """A training doc that quotes an 8-word span from an eval doc
+    (doc_id % 97 == 0) is flagged; clean training docs are not."""
+    from vbpl_web_crawl_spark.plans.queries import get_queries
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [
+        (97, "eval doc starts " + quote + " eval tail", "en", "s"),  # eval
+        (1, "training head " + quote + " training tail", "en", "s"),  # hit
+        (2, "totally unrelated training words with no overlap at all here", "en", "s"),
+        (3, "another clean training document body entirely fresh tokens", "en", "s"),
+    ]
+    sf = str(tmp_path / "sf")
+    _docs(spark, rows).write.parquet(sf + "/documents.parquet")
+    out = get_queries()["decontaminate_eval_overlap"](spark, sf).collect()[0].asDict()
+    assert out["n_train"] == 3
+    assert out["n_contaminated"] == 1
+    # the quote is the only hit span and occurs at exactly 1 position
+    assert out["total_hit_spans"] == 1

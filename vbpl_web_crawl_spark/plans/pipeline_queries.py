@@ -2324,3 +2324,113 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom.cast("long").alias("harmonic_denom"),
         (F.lit(_HLL_NUMERATOR) / denom).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (the training-hygiene counterpart of
+# dup_span_coverage): find TRAINING docs that share any 8-word span
+# with any EVAL-set doc, so they can be dropped before training — the
+# standard n-gram-overlap decontamination from GPT-3 appendix C /
+# PaLM / Llama data cards. Eval set here: the deterministic
+# doc_id % 97 == 0 slice (stands in for an external benchmark table;
+# the operator is a cross-set span semi-join either way).
+#
+# Scale design: eval-set spans are distinct 60-bit ints (a few rows
+# per eval doc) — the semi-join against training spans is the ONLY
+# shuffle that matters and it carries 8-byte keys; at a real 100 TB
+# corpus with a few-MB benchmark suite the eval-gram side broadcasts
+# and the scan-side span stream never shuffles at all.
+# ---------------------------------------------------------------------------
+
+DECON_K = 8
+
+
+@_register(
+    "decontaminate_eval_overlap",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang, (doc_id % 97 = 0) AS is_eval, {_TOKENS_SQL} AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, is_eval,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, lang, is_eval,
+           unnest([list_aggregate(w[i:i+{DECON_K - 1}], 'string_agg', ' ')
+                   for i in generate_series(1, len(w) - {DECON_K - 1})]) AS gram
+    FROM base
+  )
+),
+eval_spans AS (SELECT DISTINCT h FROM g WHERE is_eval),
+train_hits AS (
+  SELECT g.doc_id, g.lang, count(*) AS n_hit_spans
+  FROM g JOIN eval_spans USING (h)
+  WHERE NOT g.is_eval
+  GROUP BY g.doc_id, g.lang
+),
+train_docs AS (
+  SELECT lang, count(*) AS n_train FROM base WHERE NOT is_eval GROUP BY lang
+)
+SELECT t.lang,
+       CAST(t.n_train AS BIGINT) AS n_train,
+       CAST(COALESCE(count(h.doc_id), 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(sum(h.n_hit_spans), 0) AS BIGINT) AS total_hit_spans
+FROM train_docs t LEFT JOIN train_hits h USING (lang)
+GROUP BY t.lang, t.n_train
+""",
+)
+def q_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language decontamination report: training docs sharing >= 1
+    8-word span with the eval slice (doc_id % 97 == 0), plus the total
+    overlapping span positions. Docs shorter than 8 tokens contribute
+    no spans on either side, identically in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = DECON_K
+    base = docs.select(
+        "doc_id", "lang", (F.col("doc_id") % 97 == 0).alias("is_eval"), "text"
+    )
+    tok = base.select(
+        "doc_id", "lang", "is_eval",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "g"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stepped = tok.select(
+        "doc_id", "lang", "is_eval", "g",
+        *[F.lead("g", i).over(w).alias(f"g{i}") for i in range(1, k)],
+    )
+    spans = stepped.filter(F.col(f"g{k - 1}").isNotNull()).select(
+        "doc_id", "lang", "is_eval",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", "g", *[f"g{i}" for i in range(1, k)])),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    eval_spans = spans.filter("is_eval").select("h").distinct()
+    train_hits = (
+        spans.filter(~F.col("is_eval"))
+        .join(eval_spans, "h", "left_semi")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hit_spans"))
+    )
+    train_docs = (
+        base.filter(~F.col("is_eval"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    return (
+        train_docs.join(train_hits, "lang", "left")
+        .groupBy("lang", "n_train")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_contaminated"),
+            F.coalesce(F.sum("n_hit_spans"), F.lit(0)).cast("long").alias(
+                "total_hit_spans"
+            ),
+        )
+        .select("lang", "n_train", "n_contaminated", "total_hit_spans")
+    )
