@@ -47,6 +47,9 @@ HEADLINE = [
     "ann_lsh_bucket_histogram",
     "quality_repetition_stats",
     "dup_span_coverage",
+    "dedup_phash_hamming_pairs",
+    "pii_redaction_stats",
+    "quality_filter_funnel",
 ]
 
 

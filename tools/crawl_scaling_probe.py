@@ -48,7 +48,7 @@ from vbpl_web_crawl_spark.sources import synth_site as SITE  # noqa: E402
 SLOTS = 16
 SEEN_PARTS = 16
 SHUFFLE_PARTS = 32
-FETCH_PARTS = 64
+FETCH_PARTS = 256
 
 
 def run_once(spark) -> tuple[dict, dict]:

@@ -2434,3 +2434,221 @@ def q_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "n_train", "n_contaminated", "total_hit_spans")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup pairs over the image-corpus shape.
+#
+# BASELINE input_hint gives the crawl's image table a phash:int64
+# column; near-duplicate detection on it is the image twin of the text
+# simhash dedup: banded pigeonhole blocking (Manku WWW'07) + exact
+# popcount verify, radius 3 over a 60-bit hash — identical machinery,
+# reused verbatim (simhash_band_plan / simhash_hamming_pairs), so its
+# scale properties carry over (bucket-bounded equi-join, never
+# all-pairs). To give DuckDB the same phash column, it is DERIVED
+# deterministically: 60 bits of md5 over the 40-char normalized text
+# prefix (prefix families model re-encodes of the same source scan)
+# XOR one doc-keyed flipped bit (models phash jitter between
+# re-encodes), so family members sit at Hamming <= 2 and unrelated
+# images at ~30. The real decode->phash provenance is certified
+# separately by the multimodal gates (sources/corpus.py, PSNR tests).
+# ---------------------------------------------------------------------------
+
+_PHASH_SQL = (
+    f"xor(CAST(('0x' || substr(md5(substr({_NORM_SQL}, 1, 40)), 1, 15)) AS BIGINT), "
+    "CAST(1 AS BIGINT) << "
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 60))"
+)
+
+
+@_register(
+    "dedup_phash_hamming_pairs",
+    f"""
+WITH ph AS (
+  SELECT doc_id AS image_id, {_PHASH_SQL} AS phash FROM documents
+),
+bands AS (
+  SELECT image_id, phash, band_id, (phash >> (band_id * 15)) & 32767 AS band_val
+  FROM ph, (SELECT unnest([0,1,2,3]) AS band_id)
+)
+SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+       bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.image_id < b.image_id
+WHERE bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) <= {_SIMHASH_HAM_T}
+""",
+)
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image_a, image_b, hamming) pairs with phash Hamming distance
+    <= 3, via the shared banded-blocking machinery. The oracle inlines
+    the b=4 plan, exact up to ~2M rows (same note as simhash pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prepped = docs.select(
+        "doc_id", F.substring(_norm(F.col("text")), 1, 40).alias("pfx")
+    )
+    ph = prepped.select(
+        F.col("doc_id").alias("doc_id"),
+        F.expr(
+            "CAST(conv(substring(md5(pfx), 1, 15), 16, 10) AS BIGINT) ^ "
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) % 60)"
+        ).alias("simhash"),
+    )
+    plan = simhash_band_plan(docs.count())
+    return simhash_hamming_pairs(ph, plan).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        "hamming",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub stage of a training-data pipeline: detect
+# and mask email/phone patterns, report per-language counts plus the
+# lexicographically-first redacted row as a value witness. The corpus
+# text carries no PII, so each row plants one email + one phone
+# deterministically from doc_id (same planting idiom as the
+# decontamination gate's doc_id % 97 eval slice); detection must then
+# find EXACTLY one of each per row, which the oracle checks by value.
+# Pure Catalyst (regexp_count / regexp_replace) — no shuffle besides
+# the final per-lang aggregate, trivially scale-safe.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = "[a-z0-9._-]+@[a-z0-9.-]+"
+_PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@_register(
+    "pii_redaction_stats",
+    f"""
+WITH synth AS (
+  SELECT lang,
+         'user-' || CAST(doc_id AS VARCHAR) || '@mail.example called +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: '
+           || substr({_NORM_SQL}, 1, 80) AS msg
+  FROM documents
+),
+red AS (
+  SELECT lang,
+         len(regexp_extract_all(msg, '{_PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(msg, '\\+1-555-[0-9]{{4}}')) AS n_phones,
+         regexp_replace(regexp_replace(msg, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g') AS redacted
+  FROM synth
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(length(redacted)) AS BIGINT) AS total_redacted_chars,
+       min(redacted) AS first_redacted
+FROM red GROUP BY lang
+""",
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.lit("user-"), F.col("doc_id").cast("string"), F.lit("@mail.example called +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "), F.substring(_norm(F.col("text")), 1, 80),
+    )
+    red = docs.select(
+        "lang",
+        F.regexp_count(msg, F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(msg, F.lit(_PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(msg, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE, "<PHONE>",
+        ).alias("redacted"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.sum(F.length("redacted")).cast("long").alias("total_redacted_chars"),
+        F.min("redacted").alias("first_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel — staged survivor attribution for a document
+# quality chain (the shape every corpus-curation pipeline reports):
+# length gate -> mean-word-length gate -> top-token repetition gate ->
+# lexical-diversity gate, each CUMULATIVE, one output row per stage
+# with survivors + dropped-at-this-stage. All thresholds compare via
+# integer cross-multiplication (10*sum_len <= 48*n etc.) so there is
+# no float boundary to drift between engines. One explode+groupBy per
+# doc then a single global aggregate: scale cost is the token explode,
+# same as every text gate here.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_filter_funnel",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS mx,
+         sum(len(tok) * c) AS sum_len
+  FROM cnt GROUP BY doc_id
+),
+flags AS (
+  SELECT CASE WHEN n BETWEEN 24 AND 10000 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN 10 * sum_len BETWEEN 30 * n AND 48 * n THEN 1 ELSE 0 END AS f2,
+         CASE WHEN 100 * mx <= 14 * n THEN 1 ELSE 0 END AS f3,
+         CASE WHEN 100 * d >= 32 * n THEN 1 ELSE 0 END AS f4
+  FROM per
+),
+agg AS (
+  SELECT count(*) AS n0, sum(f1) AS n1, sum(f1 * f2) AS n2,
+         sum(f1 * f2 * f3) AS n3, sum(f1 * f2 * f3 * f4) AS n4
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 1 AS stage_id, 'length' AS stage,
+         CAST(n1 AS BIGINT) AS survivors, CAST(n0 - n1 AS BIGINT) AS dropped FROM agg
+  UNION ALL SELECT 2, 'mean_word_len', CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'repetition', CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT) FROM agg
+  UNION ALL SELECT 4, 'lexical_diversity', CAST(n4 AS BIGINT), CAST(n3 - n4 AS BIGINT) FROM agg
+)
+""",
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.max("c").alias("mx"),
+        F.sum(F.length("tok") * F.col("c")).alias("sum_len"),
+    )
+    flags = per.select(
+        F.col("n").between(24, 10000).cast("int").alias("f1"),
+        (
+            (10 * F.col("sum_len") >= 30 * F.col("n"))
+            & (10 * F.col("sum_len") <= 48 * F.col("n"))
+        ).cast("int").alias("f2"),
+        (100 * F.col("mx") <= 14 * F.col("n")).cast("int").alias("f3"),
+        (100 * F.col("d") >= 32 * F.col("n")).cast("int").alias("f4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("n2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("n3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "1, 'length', CAST(n1 AS BIGINT), CAST(n0 - n1 AS BIGINT), "
+        "2, 'mean_word_len', CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT), "
+        "3, 'repetition', CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT), "
+        "4, 'lexical_diversity', CAST(n4 AS BIGINT), CAST(n3 - n4 AS BIGINT)"
+        ") AS (stage_id, stage, survivors, dropped)"
+    )
