@@ -2652,3 +2652,232 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4, 'lexical_diversity', CAST(n4 AS BIGINT), CAST(n3 - n4 AS BIGINT)"
         ") AS (stage_id, stage, survivors, dropped)"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k — the corpus-search operator a training-data
+# pipeline runs for targeted curation (pull the docs most relevant to a
+# probe query). Okapi BM25 with k1 = 1.2, b = 0.75 and linear
+# (unsmoothed) idf = N/df, so every per-term contribution reduces to a
+# ratio of two exact 64-bit integers:
+#
+#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) * N/df
+#     = 22*tf*total*N / ((10*tf*total + 3*total + 9*dl*N) * df)
+#
+# (avgdl = total/N substituted and cleared; 22/10 = k1+1, 3/10 =
+# k1*(1-b), 9/10 = k1*b). ONE IEEE float division per (doc, term), and
+# the doc score sums the fixed-arity term columns LEFT-TO-RIGHT — so
+# Spark and DuckDB agree bit-for-bit with no rounding.
+#
+# Scale design: tf/df/dl are token-keyed aggregates with map-side
+# combine; the scalar (total, nd) row and the |terms|-row df table are
+# broadcast; nothing shuffles except the tf aggregation of the matching
+# postings (the `isin` filter prunes the token stream to the query
+# vocabulary BEFORE any shuffle). Top-10 is TakeOrderedAndProject. At
+# 100 TB with a real query load you'd swap linear idf for log idf
+# (floats) and serve from a pre-built inverted index; the plan shape —
+# postings agg + broadcast scalars — is the same.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@_register(
+    "bm25_topk_docs",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS w FROM documents
+),
+dl AS (
+  SELECT doc_id, any_value(lang) AS lang, CAST(count(*) AS BIGINT) AS dl
+  FROM tok GROUP BY doc_id
+),
+g AS (SELECT CAST(sum(dl) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd FROM dl),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w
+),
+dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+s AS (
+  SELECT t.doc_id, t.w,
+         CAST(22 * t.tf * g.total * g.nd AS DOUBLE)
+           / ((10 * t.tf * g.total + 3 * g.total + 9 * d.dl * g.nd) * q.df) AS sc
+  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (w) CROSS JOIN g
+),
+per AS (
+  SELECT doc_id,
+         COALESCE(max(CASE WHEN w = 'spark'  THEN sc END), 0.0) AS s1,
+         COALESCE(max(CASE WHEN w = 'join'   THEN sc END), 0.0) AS s2,
+         COALESCE(max(CASE WHEN w = 'window' THEN sc END), 0.0) AS s3
+  FROM s GROUP BY doc_id
+)
+SELECT p.doc_id, d.lang, d.dl AS n_tokens, p.s1 + p.s2 + p.s3 AS bm25
+FROM per p JOIN dl d USING (doc_id)
+ORDER BY p.s1 + p.s2 + p.s3 DESC, p.doc_id ASC
+LIMIT 10
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 against the fixed probe query
+    ('spark', 'join', 'window'); doc_id tiebreak. Integer-exact per-term
+    contributions (see the derivation above), fixed-order float sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("w"))
+    dl = tok.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"), F.count(F.lit(1)).alias("dl")
+    )
+    g = dl.agg(F.sum("dl").alias("total"), F.count(F.lit(1)).alias("nd"))
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    s = (
+        tf.join(dl.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(dfq), "w")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "w",
+            (
+                (22 * F.col("tf") * F.col("total") * F.col("nd")).cast("double")
+                / (
+                    (
+                        10 * F.col("tf") * F.col("total")
+                        + 3 * F.col("total")
+                        + 9 * F.col("dl") * F.col("nd")
+                    )
+                    * F.col("df")
+                )
+            ).alias("sc"),
+        )
+    )
+    per = s.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("w") == t, F.col("sc"))), F.lit(0.0)).alias(
+                f"s{i + 1}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    return (
+        per.join(dl.select("doc_id", "lang", F.col("dl").alias("n_tokens")), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("s1") + F.col("s2") + F.col("s3")).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency bucketing — the CCNet-style head/middle/tail split
+# a pretraining pipeline applies after dedup: train an n-gram LM ON THE
+# CORPUS ITSELF, score every document, and bucket by score so the
+# cleanest slice can be up-sampled. The LM here is the exact bigram
+# table (count(w1 w2)) with unigram backoff denominator count(w1); the
+# per-position "surprise" is the integer-scaled inverse conditional
+# frequency (c1(prev) * 1000) div c2(prev, cur) >= 1000, summed
+# per document and mean-normalized with integer division — every
+# arithmetic step is 64-bit integer, so Spark and DuckDB agree
+# bit-for-bit and the bucket CASE has no float edge.
+#
+# Scale design: ONE posexplode feeds the unigram table, the bigram
+# table (lead() window per doc — the same single-shuffle shingle shape
+# the minhash family uses), and the scoring stream; cnt1/cnt2 are
+# token-keyed aggregates (map-side combine, Zipf-bounded); scoring
+# joins the position stream to them on token keys — linear in corpus
+# tokens, no self-joins. Thresholds are fixed literals (picked from
+# the corpus p30/p70 at build time), so the bucketing itself is a pure
+# Catalyst CASE — at 100 TB you'd re-derive them from the exact
+# quantile operator (operators/quantile.py) on the same score column.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lm_bigram_fluency_buckets",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS w FROM documents
+),
+big AS (
+  SELECT doc_id, lang,
+         unnest([w[i] for i in generate_series(1, len(w) - 1)]) AS p,
+         unnest([w[i + 1] for i in generate_series(1, len(w) - 1)]) AS c
+  FROM base
+),
+cnt1 AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(w) AS g FROM base) GROUP BY g
+),
+cnt2 AS (SELECT p, c, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY p, c),
+scored AS (
+  SELECT b.doc_id, any_value(b.lang) AS lang,
+         CAST(SUM((u.c1 * 1000) // v.c2) AS BIGINT) AS fl_sum,
+         CAST(count(*) AS BIGINT) AS n_big
+  FROM big b JOIN cnt1 u ON b.p = u.g JOIN cnt2 v ON b.p = v.p AND b.c = v.c
+  GROUP BY b.doc_id
+),
+bucketed AS (
+  SELECT lang,
+         CASE WHEN fl_sum // n_big < 30200 THEN 'head'
+              WHEN fl_sum // n_big < 31300 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         fl_sum // n_big AS mean_fl
+  FROM scored
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(mean_fl) AS DOUBLE) / count(*) AS avg_fluency
+FROM bucketed GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+)
+def q_lm_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bucket) doc counts + mean integer fluency score from
+    the corpus-trained exact bigram LM. Docs with < 2 tokens have no
+    bigram and drop out identically on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select("doc_id", "lang", "pos", F.col("g").alias("p"),
+                   F.lead("g").over(w).alias("c"))
+        .filter(F.col("c").isNotNull())
+    )
+    cnt1 = tok.groupBy("g").agg(F.count(F.lit(1)).alias("c1"))
+    cnt2 = big.groupBy("p", "c").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(cnt1.withColumnRenamed("g", "p"), "p")
+        .join(cnt2, ["p", "c"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.sum(F.expr("(c1 * 1000) div c2")).alias("fl_sum"),
+            F.count(F.lit(1)).alias("n_big"),
+        )
+    )
+    mean_fl = F.expr("fl_sum div n_big")
+    bucketed = scored.select(
+        "lang",
+        F.when(mean_fl < 30200, "head")
+        .when(mean_fl < 31300, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        mean_fl.alias("mean_fl"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("mean_fl").cast("double") / F.count(F.lit(1))).alias("avg_fluency"),
+        )
+        .orderBy("lang", "bucket")
+    )
