@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_phash_hamming_pairs",
     "pii_redaction_stats",
     "quality_filter_funnel",
+    "boilerplate_segment_stats",
+    "semantic_dedup_keep_one",
+    "recrawl_cdc_delta",
+    "compaction_file_plan",
 ]
 
 

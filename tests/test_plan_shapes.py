@@ -175,6 +175,60 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] == 0
         and "mapInPandas" not in p
     ),
+    "dup_span_coverage": lambda p, n: (
+        # lead()-window 8-gram spans + per-doc coverage windows, all
+        # partitioned by doc_id; pure Catalyst
+        n["Window"] >= 1
+        and n["HashAggregate"] >= 4
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
+    "dedup_phash_hamming_pairs": lambda p, n: (
+        # banded pigeonhole blocking: band explode + bucket EQUI-join,
+        # never an all-pairs nested loop over images
+        n["Generate"] >= 1
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "pii_redaction_stats": lambda p, n: (
+        # regexp_count/replace stay JVM-side; one per-lang aggregate
+        _shuffles(n) == 1
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
+    "quality_filter_funnel": lambda p, n: (
+        n["HashAggregate"] >= 4
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
+    "boilerplate_segment_stats": lambda p, n: (
+        # shuffle-free segment formation (array slice transform, no
+        # per-token explode->groupBy), then an 8-byte-key frequency
+        # agg and an equi-join to flag; never a nested loop
+        n["Generate"] >= 1
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
+    "semantic_dedup_keep_one": lambda p, n: (
+        # the ONLY nested-loop joins are the 16-row broadcast centroid
+        # assignments (one per branch reading `assigned`); the
+        # within-cluster pair search itself is an EQUI-join on cid
+        n["BroadcastNestedLoopJoin"] <= 3
+        and n["BroadcastNestedLoopJoin"] <= n["BroadcastExchange"]
+        and n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 1
+    ),
+    "recrawl_cdc_delta": lambda p, n: (
+        # snapshot diff = ONE full-outer join on the 8-byte doc key
+        # (fingerprints ride along, bodies never shuffle)
+        "FullOuter" in p
+        and n["SortMergeJoin"] + n["ShuffledHashJoin"] == 1
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "compaction_file_plan": lambda p, n: (
+        # the groupBy reuses the window's source partitioning: 1 shuffle
+        n["Window"] == 1 and _shuffles(n) == 1
+    ),
 }
 
 

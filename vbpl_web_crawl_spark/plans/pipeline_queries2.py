@@ -1,0 +1,402 @@
+"""Round-5 training-data pipeline queries: corpus boilerplate removal,
+semantic dedup (SemDeDup), recrawl CDC deltas, image dedup end-to-end,
+and output-file compaction planning. Same (Spark plan, DuckDB oracle)
+contract as plans/pipeline_queries.py, registered into the same
+driver-facing registry.
+
+Reference parity notes: the recrawl CDC gate models the reference's
+re-crawl upsert semantics (/root/reference/app/service/vbpl.py
+update-or-insert on revisit) as an explicit snapshot-diff operator; the
+compaction planner is the batch-writer side of the reference's
+page-by-page export loop re-expressed as a size-targeted file plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.plans import pipeline_queries as PQ
+from vbpl_web_crawl_spark.plans.queries import ORACLES, QUERIES, _register
+from vbpl_web_crawl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate segment removal. CCNet dedups at the
+# paragraph/line level by hashing each line and dropping lines whose
+# corpus frequency crosses a threshold; the driver corpus is
+# single-line, so the unit is the aligned non-overlapping 8-token
+# segment. Scale design: segments are formed WITHOUT a shuffle (slice
+# over the token array per row — non-overlapping windows, unlike the
+# shingle paths where lead() wins); the only shuffles are the 8-byte
+# xxhash64 segment-key frequency aggregate and the per-source rollup.
+# At 100 TB the df >= T boilerplate set is tiny relative to the corpus
+# (that is what makes it boilerplate), so the flagging join broadcasts.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 8  # tokens per segment
+_BOILER_T = 2  # appears in >= T distinct docs -> boilerplate
+
+
+@_register(
+    "boilerplate_segment_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, source, {PQ._TOKENS_SQL} AS w FROM documents
+),
+seg AS (
+  SELECT doc_id, source,
+         unnest([list_aggregate(w[i : i + {_SEG_W - 1}], 'string_agg', ' ')
+                 for i in generate_series(1, len(w), {_SEG_W})]) AS seg_text
+  FROM base
+),
+freq AS (
+  SELECT seg_text, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg_text
+),
+flagged AS (
+  SELECT s.doc_id, s.source, (f.df >= {_BOILER_T}) AS boiler
+  FROM seg s JOIN freq f USING (seg_text)
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_segments,
+       CAST(count(DISTINCT CASE WHEN boiler THEN doc_id END) AS BIGINT)
+         AS n_docs_affected,
+       round(sum(CASE WHEN boiler THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS drop_ratio
+FROM flagged GROUP BY source
+""",
+)
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate stats: aligned 8-token segments occurring
+    in >= 2 distinct docs are 'boilerplate' (CCNet's line-hash dedup,
+    segment-ized for the single-line corpus); reports how much of each
+    source a line-level dedup pass would strip."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = PQ._tokens(F.col("text"))
+    n_seg = F.ceil(F.size(toks) / F.lit(_SEG_W)).cast("long")
+    segs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice(toks, i * _SEG_W + 1, _SEG_W), " "),
+            )
+        ).alias("seg_text"),
+    ).select("doc_id", "source", F.xxhash64("seg_text").alias("h"))
+    freq = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = segs.join(freq, "h").withColumn("boiler", F.col("df") >= _BOILER_T)
+    return flagged.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_segments"),
+        F.count_distinct(F.when(F.col("boiler"), F.col("doc_id"))).alias(
+            "n_docs_affected"
+        ),
+        F.round(
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
+# then inside each cluster drop every vector that has a more-senior
+# (smaller id) neighbor above the cosine threshold — semantic
+# near-dups that survive the text-level dedups. The coarse quantizer
+# is the deterministic hash-grid centroid table (shared with
+# ann_ivf_topk) so BOTH engines can state the cluster assignment
+# exactly; the fitted-k-means variant of the same machinery stays
+# certified by ann_ivf_full_probe + the k-means pytests. Scale: the
+# within-cluster pair search is an equi-join on cid (never all-pairs
+# across the corpus); SemDeDup sizes k ~ sqrt(n) so cluster population
+# stays bounded, and inside a hot cluster the same sign-LSH blocking
+# used by dedup_embedding_cosine_pairs applies unchanged.
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.40  # same verified-near-dup threshold as the LSH pair gate
+
+
+@_register(
+    "semantic_dedup_keep_one",
+    f"""
+WITH cents AS ({PQ._cents_sql()}),
+assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+         (SELECT c.cid FROM cents c
+          ORDER BY {PQ._COS_SQL.format(x='e.embedding::DOUBLE[]', y='c.centroid')}
+            DESC, c.cid ASC
+          LIMIT 1) AS cid
+  FROM embeddings e
+),
+dropped AS (
+  SELECT b.cid, b.vec_id FROM assigned b WHERE EXISTS (
+    SELECT 1 FROM assigned a
+    WHERE a.cid = b.cid AND a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.emb, b.emb) >= {_SEM_TAU})
+)
+SELECT a.cid,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM assigned a LEFT JOIN dropped d ON d.cid = a.cid AND d.vec_id = a.vec_id
+GROUP BY a.cid
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup outcome: vectors assigned to each coarse
+    cluster, how many are dropped as semantic near-dups of a
+    smaller-id member (cosine >= 0.40), how many survive."""
+    from vbpl_web_crawl_spark.operators.ann import assign_to_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        [(c, [float(v) for v in PQ._ivf_centroid(c)]) for c in range(PQ._IVF_K)],
+        "cid int, centroid array<double>",
+    )
+    assigned = assign_to_centroids(emb, cents)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= _SEM_TAU)
+        .select("cid", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_dropped", F.lit(1)), ["cid", "vec_id"], "left"
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl CDC delta — the reference re-crawls listing pages and
+# upserts changed documents (app/service/vbpl.py: update-or-insert on
+# revisit); this gate makes the snapshot diff an explicit operator:
+# FULL OUTER join of two crawl snapshots on the document key,
+# classified added / deleted / changed / unchanged by content
+# fingerprint. Both snapshots are carved deterministically from the
+# documents table (id-residue membership + a planted revision), so the
+# oracle states them identically. Scale: the join shuffles only
+# (doc_id, md5 fingerprint, source) — never document bodies — and with
+# both snapshots bucketed by doc_id in the lakehouse it degenerates to
+# a co-partitioned zip with no shuffle at all.
+# ---------------------------------------------------------------------------
+
+_CDC_OLD = "doc_id % 11 <> 3"  # rows absent from the OLD snapshot -> 'added'
+_CDC_NEW = "doc_id % 13 <> 5"  # rows absent from the NEW snapshot -> 'deleted'
+_CDC_REV = "doc_id % 7 = 0"  # rows revised between snapshots -> 'changed'
+
+
+@_register(
+    "recrawl_cdc_delta",
+    f"""
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE {_CDC_OLD}
+),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN {_CDC_REV} THEN text || ' rev2' ELSE text END) AS fp
+  FROM documents WHERE {_CDC_NEW}
+),
+delta AS (
+  SELECT coalesce(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'deleted'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source, change_type, CAST(count(*) AS BIGINT) AS n_docs
+FROM delta GROUP BY source, change_type
+""",
+)
+def q_recrawl_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, change_type, n_docs) snapshot diff between the crawl
+    state before and after a recrawl round."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.expr(_CDC_OLD)).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.expr(_CDC_NEW)).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.expr(_CDC_REV), F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    o = old.select(
+        F.col("doc_id").alias("o_id"), F.col("source").alias("o_src"),
+        F.col("fp").alias("o_fp"),
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_id"), F.col("source").alias("n_src"),
+        F.col("fp").alias("n_fp"),
+    )
+    delta = o.join(n, o.o_id == n.n_id, "full_outer").select(
+        F.coalesce("o_src", "n_src").alias("source"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "deleted")
+        .when(F.col("o_fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return delta.groupBy("source", "change_type").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image dedup END-TO-END: phash Hamming pairs -> connected components
+# -> keep one representative per visual cluster — the image twin of
+# dedup_corpus_keep_one, chaining the banded-phash blocking into the
+# star-contraction CC operator and the keep-min selection rule.
+# Reported per crawl source so the gate certifies the join back to the
+# catalog, not just cluster labels. Scale: identical to the text
+# pipeline (bucket-bounded pair join, O(log d) CC rounds, 8-byte keys).
+# ---------------------------------------------------------------------------
+
+
+def _phash_cc_oracle() -> str:
+    pairs_sql = ORACLES["dedup_phash_hamming_pairs"]
+    assert isinstance(pairs_sql, str)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT image_a, image_b FROM ({pairs_sql}) pp),
+edges AS (
+  SELECT image_a AS u, image_b AS v FROM pairs
+  UNION
+  SELECT image_b AS u, image_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.u AS node, reach.r AS r FROM reach JOIN edges e ON e.v = reach.node
+),
+cc AS (SELECT node AS image_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(cc.image_id) AS BIGINT) AS n_in_clusters,
+       CAST(sum(CASE WHEN cc.image_id IS NOT NULL AND cc.image_id <> cc.cluster_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN cc ON cc.image_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@_register("dedup_phash_keep_one", _phash_cc_oracle)
+def q_phash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source image-dedup outcome: images total, images inside a
+    phash near-dup cluster, and images a keep-one pass drops (every
+    cluster member except the min-id representative)."""
+    from vbpl_web_crawl_spark.operators.graph import connected_components
+
+    pairs = QUERIES["dedup_phash_hamming_pairs"](spark, sf_dir).select(
+        "image_a", "image_b"
+    )
+    cc = connected_components(pairs, src="image_a", dst="image_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(cc, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.count("cluster_id").alias("n_in_clusters"),
+        F.sum(
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction / output-file planning — the small-files problem at
+# 100 TB: pack per-source document runs into target-size output files.
+# Next-fit by leading edge: file_id = floor(preceding-bytes / target)
+# over the (source, doc_id) order, so every engine (and every rerun)
+# produces the identical plan. Scale: one window shuffle partitioned
+# by source; for a single giant source the same plan is produced by
+# range-partitioning on doc_id and offsetting per-partition prefix
+# sums with a 2-job scan (operators/sequence.py's large path) — the
+# window here IS that operator's small-input specialization.
+# ---------------------------------------------------------------------------
+
+_FILE_TARGET = 4096  # chars per output file at gate scale
+
+
+@_register(
+    "compaction_file_plan",
+    f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS before
+  FROM documents
+)
+SELECT source, CAST(before // {_FILE_TARGET} AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM c GROUP BY source, file_id
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-targeted output-file plan per source: which
+    doc run lands in which file, with per-file doc count and bytes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("before", F.sum("n_chars").over(w) - F.col("n_chars"))
+    return (
+        c.withColumn(
+            "file_id", F.floor(F.col("before") / F.lit(_FILE_TARGET)).cast("long")
+        )
+        .groupBy("source", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )

@@ -607,13 +607,21 @@ def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_queries() -> dict[str, QueryFn]:
     # import side-effect registrations from the sibling modules
-    from vbpl_web_crawl_spark.plans import extra_queries, pipeline_queries  # noqa: F401
+    from vbpl_web_crawl_spark.plans import (  # noqa: F401
+        extra_queries,
+        pipeline_queries,
+        pipeline_queries2,
+    )
 
     return dict(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
-    from vbpl_web_crawl_spark.plans import extra_queries, pipeline_queries  # noqa: F401
+    from vbpl_web_crawl_spark.plans import (  # noqa: F401
+        extra_queries,
+        pipeline_queries,
+        pipeline_queries2,
+    )
 
     out: dict[str, str] = {}
     for name, sql in ORACLES.items():
