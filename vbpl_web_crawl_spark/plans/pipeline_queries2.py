@@ -75,16 +75,19 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = PQ._tokens(F.col("text"))
     n_seg = F.ceil(F.size(toks) / F.lit(_SEG_W)).cast("long")
+    # hash the token-array slice STRUCTURALLY (xxhash64 over array<string>)
+    # instead of materializing the joined segment string — same segment
+    # identity, no per-segment string allocation on the hot path
     segs = docs.select(
         "doc_id",
         "source",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_seg - 1),
-                lambda i: F.array_join(F.slice(toks, i * _SEG_W + 1, _SEG_W), " "),
+                lambda i: F.xxhash64(F.slice(toks, i * _SEG_W + 1, _SEG_W)),
             )
-        ).alias("seg_text"),
-    ).select("doc_id", "source", F.xxhash64("seg_text").alias("h"))
+        ).alias("h"),
+    )
     freq = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
     flagged = segs.join(freq, "h").withColumn("boiler", F.col("df") >= _BOILER_T)
     return flagged.groupBy("source").agg(
@@ -159,8 +162,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, [float(v) for v in PQ._ivf_centroid(c)]) for c in range(PQ._IVF_K)],
         "cid int, centroid array<double>",
     )
-    assigned = assign_to_centroids(emb, cents)
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
@@ -168,15 +169,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # materialize the assignment ONCE (it feeds both pair sides and the
+    # final rollup — without this the 16-row-broadcast argmin pass runs
+    # 3x), and carry each vector's norm out of the pair loop: the pair
+    # stage then folds ONE zip_with per candidate pair instead of three.
+    # cos = dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) factored, not
+    # reformulated — bit-identical to the oracle's expression.
+    assigned = (
+        assign_to_centroids(emb, cents)
+        .withColumn("nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+        .localCheckpoint(eager=False)
+    )
     a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
