@@ -54,6 +54,8 @@ HEADLINE = [
     "semantic_dedup_keep_one",
     "recrawl_cdc_delta",
     "compaction_file_plan",
+    "dsir_importance_buckets",
+    "chunking_overlap_stats",
 ]
 
 

@@ -229,6 +229,21 @@ _BENCH_PLAN_EXPECT = {
         # the groupBy reuses the window's source partitioning: 1 shuffle
         n["Window"] == 1 and _shuffles(n) == 1
     ),
+    "dsir_importance_buckets": lambda p, n: (
+        # hashed-feature stream checkpointed once; the <=1024-row ratio
+        # table joins back via BROADCAST, never a shuffled join
+        n["BroadcastHashJoin"] >= 1
+        and n["SortMergeJoin"] + n["ShuffledHashJoin"] == 0
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
+    "chunking_overlap_stats": lambda p, n: (
+        # chunk materialization is shuffle-free (slice transform); only
+        # the per-lang rollups shuffle
+        n["Generate"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "mapInPandas" not in p
+    ),
 }
 
 

@@ -186,3 +186,59 @@ def test_compaction_plan_partitioning_invariant(spark, tmp_path):
     )
     b = sorted(map(tuple, q(spark, sf2).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------- dsir
+
+
+def test_dsir_target_lookalikes_score_above_divergent_docs(spark, tmp_path):
+    """Docs sharing the target slice's bigrams must out-score docs made
+    of bigrams the target never uses: every doc_id%5==0 doc is 'quality
+    prose', lookalikes copy it, divergent docs use disjoint vocab."""
+    quality = "the quick brown fox jumps over the lazy dog again and again"
+    divergent = "zz yy xx ww vv uu tt ss rr qq pp oo"
+    rows = (
+        [(i * 5, quality, "en", "s") for i in range(1, 4)]  # target slice
+        + [(7, quality, "en", "s"), (11, quality, "en", "s")]  # lookalikes
+        + [(13, divergent, "en", "s"), (17, divergent, "en", "s")]
+    )
+    sf = _write_docs(spark, rows, tmp_path)
+    got = get_queries()["dsir_importance_buckets"](spark, sf).collect()
+    # reconstruct per-bin membership: lookalike bins must all sit above
+    # every divergent bin (scores are per-bin min/max of member docs)
+    assert len(got) >= 2
+    hi = [r for r in got if r.max_score == max(x.max_score for x in got)]
+    lo = [r for r in got if r.min_score == min(x.min_score for x in got)]
+    assert hi[0].min_score > lo[0].max_score
+    # target + lookalikes (5 docs) land in the top bin(s), divergent in
+    # the bottom
+    assert sum(r.n_docs for r in hi) == 5
+    assert sum(r.n_docs for r in lo) == 2
+
+
+# --------------------------------------------------------- chunking
+
+
+def test_chunking_counts_and_overlap_volume(spark, tmp_path):
+    """33 tokens with C=32/O=8 -> 2 chunks (starts 0 and 24), chunk
+    tokens 32 + 9 = 41 = n + (k-1)*O; a 10-token doc -> 1 chunk of 10."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(33)), "en", "s"),
+        (2, " ".join(f"u{i}" for i in range(10)), "en", "s"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    row = get_queries()["chunking_overlap_stats"](spark, sf).collect()[0]
+    assert row.n_docs == 2
+    assert row.total_tokens == 43
+    assert row.total_chunks == 3
+    assert row.total_chunk_tokens == 41 + 10
+
+
+def test_chunking_exact_stride_boundary(spark, tmp_path):
+    """n = C + stride = 56 tokens -> exactly 2 full chunks, no ragged
+    tail: starts 0,24 cover [0,32) and [24,56)."""
+    rows = [(1, " ".join(f"t{i}" for i in range(56)), "en", "s")]
+    sf = _write_docs(spark, rows, tmp_path)
+    row = get_queries()["chunking_overlap_stats"](spark, sf).collect()[0]
+    assert row.total_chunks == 2
+    assert row.total_chunk_tokens == 64  # both chunks full C=32

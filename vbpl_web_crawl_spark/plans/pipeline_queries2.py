@@ -412,3 +412,223 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): estimate a hashed
+# bigram-feature distribution on a TARGET slice and on the RAW corpus,
+# score every doc by its per-feature importance ratio, select by
+# score. Engine-parity discipline follows lm_bigram_fluency_buckets:
+# the per-bucket ratio is FIXED-POINT INTEGER
+#   m_b = ((tgt_b+1) * (RAW_TOT+B) * 1000) div ((raw_b+1) * (TGT_TOT+B))
+# (add-one smoothing over B=1024 hash buckets), so per-doc scores are
+# integer sums — order-free and bit-equal across engines, where a
+# float log-sum would drift in the last ulp with aggregation order.
+# Scale: the bucket table is bounded at B rows -> broadcast; the only
+# real shuffles are the bucket-count aggregates and the per-doc sum.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hash buckets
+_DSIR_TARGET = "doc_id % 5 = 0"  # the deterministic 'high-quality' slice
+_DSIR_BIN = 200  # score-histogram bin width
+
+
+@_register(
+    "dsir_importance_buckets",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang, ({_DSIR_TARGET}) AS is_t, {PQ._TOKENS_SQL} AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, is_t,
+         CAST(('0x' || substr(md5(
+           unnest([w[i] || ' ' || w[i + 1] for i in generate_series(1, len(w) - 1)])
+         ), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+  FROM base
+),
+raw_c AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM feat GROUP BY b),
+tgt_c AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM feat WHERE is_t GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM feat) + {_DSIR_B} AS rt,
+         (SELECT count(*) FROM feat WHERE is_t) + {_DSIR_B} AS tt
+),
+ratio AS (
+  SELECT r.b,
+         CAST(((coalesce(t.tc, 0) + 1) * tot.rt * 1000)
+              // ((r.rc + 1) * tot.tt) AS BIGINT) AS m
+  FROM raw_c r LEFT JOIN tgt_c t ON r.b = t.b, tot
+),
+scored AS (
+  SELECT f.doc_id, any_value(f.lang) AS lang,
+         CAST(sum(ratio.m) // count(*) AS BIGINT) AS score
+  FROM feat f JOIN ratio ON f.b = ratio.b
+  GROUP BY f.doc_id
+)
+SELECT lang, CAST(score // {_DSIR_BIN} AS BIGINT) AS score_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM scored GROUP BY lang, score_bin
+""",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, score-bin) histogram of DSIR importance scores:
+    mean fixed-point target/raw likelihood ratio of each doc's hashed
+    bigram features. Docs with < 2 tokens drop out identically on
+    both engines (no bigram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(_DSIR_TARGET).alias("is_t"),
+        F.posexplode(PQ._tokens(F.col("text"))).alias("pos", "g"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    feat = (
+        tok.select(
+            "doc_id", "lang", "is_t", "g", F.lead("g").over(w).alias("g2")
+        )
+        .filter(F.col("g2").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "is_t",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "g", "g2")), 1, 15), 16, 10
+                ).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    # materialize the hashed-feature stream ONCE: it feeds the raw
+    # bucket counts, the target bucket counts, AND the scoring join —
+    # without the checkpoint the explode+window pipeline runs 3x plus
+    # once per scalar total
+    feat = feat.localCheckpoint(eager=False)
+    raw_c = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tc_sub"),
+    )
+    tgt_c = raw_c.filter("tc_sub > 0").select("b", F.col("tc_sub").alias("tc"))
+    # totals from the <=1024-row bucket table, not a second corpus scan
+    totals = raw_c.agg(F.sum("rc"), F.sum("tc_sub")).first()
+    n_raw = int(totals[0]) + _DSIR_B
+    n_tgt = int(totals[1]) + _DSIR_B
+    ratio = (
+        raw_c.join(tgt_c, "b", "left")
+        .select(
+            "b",
+            F.expr(
+                f"CAST((coalesce(tc, 0) + 1) * {n_raw}L * 1000 AS BIGINT)"
+                f" div CAST((rc + 1) * {n_tgt}L AS BIGINT)"
+            ).alias("m"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.expr("sum(m) div count(*)").cast("long").alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("lang", F.expr(f"score div {_DSIR_BIN}").alias("score_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select("lang", F.col("score_bin").cast("long"), "n_docs",
+                "min_score", "max_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence chunking: split each doc's token stream into
+# fixed-length chunks with overlap (the standard LM pre-tokenization
+# step before sequence packing). Chunk starts stride by C - O; the
+# final partial chunk is kept. Entirely shuffle-free per row (array
+# slices over the token array); the only shuffle is the per-lang
+# rollup — the same shape at any corpus size.
+# ---------------------------------------------------------------------------
+
+_CHUNK_C = 32  # tokens per chunk
+_CHUNK_O = 8  # overlap tokens
+
+
+@_register(
+    "chunking_overlap_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang, len({PQ._TOKENS_SQL}) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN n <= {_CHUNK_C} THEN 1
+              ELSE 1 + CAST(ceil((n - {_CHUNK_C}) /
+                            CAST({_CHUNK_C - _CHUNK_O} AS DOUBLE)) AS BIGINT)
+         END AS n_chunks
+  FROM base
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+       -- every non-final chunk contributes C and overlaps its successor
+       -- by O, the last contributes the remainder: the sum telescopes
+       -- to n + (n_chunks - 1) * O
+       CAST(sum(n + (n_chunks - 1) * {_CHUNK_O}) AS BIGINT) AS total_chunk_tokens
+FROM c GROUP BY lang
+""",
+)
+def q_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang chunking outcome for C=32/O=8 sliding chunks: doc and
+    token totals, chunks produced, and the token volume after
+    duplication by overlap (total_chunk_tokens >= total_tokens).
+    The Spark side MATERIALIZES the chunks (explode over slice
+    starts) and measures them, certifying the chunk boundaries the
+    closed-form oracle only states."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = PQ._tokens(F.col("text"))
+    stride = _CHUNK_C - _CHUNK_O
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK_C, F.lit(1)).otherwise(
+        (F.ceil((n - _CHUNK_C) / F.lit(float(stride)))).cast("long") + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.size(F.slice(toks, i * stride + 1, _CHUNK_C)),
+            )
+        ).alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum(F.expr("if(chunk_len = n or n <= 0, n, 0)"))
+            .cast("long")
+            .alias("_tt_guard"),
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
+        )
+        .join(
+            docs.groupBy("lang").agg(
+                F.sum(F.size(PQ._tokens(F.col("text")))).cast("long").alias(
+                    "total_tokens"
+                )
+            ),
+            "lang",
+        )
+        .select("lang", "n_docs", "total_tokens", "total_chunks",
+                "total_chunk_tokens")
+    )
