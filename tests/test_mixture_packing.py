@@ -1,0 +1,107 @@
+"""Semantic tests for the corpus-mixture sampling weights and the
+concat-and-chunk sequence packing stats, on planted data where the
+right answer is known by construction. Oracle parity of the full
+queries is covered by the correctness gate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.plans.queries import get_queries
+
+
+def _write_docs(spark, rows, tmp_path):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/documents.parquet")
+    return sf
+
+
+def test_mixture_weights_cap_binds_on_tiny_stream(spark, tmp_path):
+    """Two streams, 100 vs 4 tokens: sqrt temperature gives the tiny
+    stream weight sqrt(4)/(sqrt(100)+sqrt(4)) = 1/6, implying
+    104/6 / 4 = 4.33 epochs — above the 2.0 cap, so its draws clamp to
+    8 tokens and the final share renormalizes."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100)), "en", "big"),
+        (2, "a b c d", "en", "small"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    got = {
+        r.source: r
+        for r in get_queries()["mixture_sampling_weights"](spark, sf).collect()
+    }
+    big, small = got["big"], got["small"]
+    assert small.total_tokens == 4 and big.total_tokens == 100
+    assert small.capped and not big.capped
+    assert small.weight_raw == pytest.approx(2.0 / 12.0, abs=1e-6)
+    assert small.epochs_uncapped == pytest.approx(104.0 / 6.0 / 4.0, abs=1e-4)
+    assert small.draws_tokens == pytest.approx(8.0)  # 2.0 epochs * 4 tokens
+    big_draws = (10.0 / 12.0) * 104.0
+    assert big.draws_tokens == pytest.approx(round(big_draws, 2))
+    assert small.share_final == pytest.approx(8.0 / (8.0 + big_draws), abs=1e-6)
+    assert big.share_final + small.share_final == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mixture_weights_shares_sum_to_one(spark, tmp_path):
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(5 + 7 * (i % 4))), "en", f"s{i % 5}")
+        for i in range(40)
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    out = get_queries()["mixture_sampling_weights"](spark, sf).collect()
+    assert sum(r.share_final for r in out) == pytest.approx(1.0, abs=1e-4)
+    # no stream may exceed the epoch cap after clamping
+    for r in out:
+        assert r.draws_tokens <= 2.0 * r.total_tokens + 1e-6
+
+
+def test_sequence_packing_boundary_docs(spark, tmp_path):
+    """One source with token counts 400, 200, 424: concatenated stream
+    offsets are [0,400), [400,600), [600,1024) at ctx=512 — doc 2
+    straddles the first boundary, doc 3 ends exactly at bin edge 1024
+    and straddles the 512 boundary. 1024 tokens = exactly 2 bins,
+    fill ratio 1.0."""
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(400)), "en", "s0"),
+        (2, " ".join(f"b{i}" for i in range(200)), "en", "s0"),
+        (3, " ".join(f"c{i}" for i in range(424)), "en", "s0"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    row = get_queries()["sequence_packing_stats"](spark, sf).collect()[0]
+    assert row.n_docs == 3
+    assert row.total_tokens == 1024
+    assert row.n_bins == 2
+    assert row.fill_ratio == pytest.approx(1.0)
+    # doc1 [0,400) inside bin 0; doc2 [400,600) crosses 512; doc3
+    # [600,1024) stays inside bin 1 (ends exactly at the edge)
+    assert row.n_boundary_docs == 1
+    spark.catalog.clearCache()
+
+
+def test_sequence_packing_empty_and_exact_fit(spark, tmp_path):
+    """Empty docs contribute 0 tokens and never count as boundary
+    docs; a source totalling an exact multiple of ctx has fill 1.0."""
+    rows = [
+        (1, " ".join(f"x{i}" for i in range(512)), "en", "s0"),
+        (2, "", "en", "s0"),
+        (3, " ".join(f"y{i}" for i in range(512)), "en", "s0"),
+        (4, " ".join(f"z{i}" for i in range(10)), "en", "s1"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    got = {
+        r.source: r
+        for r in get_queries()["sequence_packing_stats"](spark, sf).collect()
+    }
+    assert got["s0"].total_tokens == 1024
+    assert got["s0"].n_bins == 2
+    assert got["s0"].fill_ratio == pytest.approx(1.0)
+    assert got["s0"].n_boundary_docs == 0
+    assert got["s1"].n_bins == 1
+    assert got["s1"].fill_ratio == pytest.approx(10.0 / 512.0, abs=1e-6)
+    spark.catalog.clearCache()

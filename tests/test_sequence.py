@@ -36,3 +36,66 @@ def test_small_hint_path_identical(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "v int")
     assert global_sequence(df, ["v"]).count() == 0
+
+
+# ------------------------------------------------- grouped_cumsum
+
+
+def test_grouped_cumsum_matches_window(spark):
+    """Large path == Window.partitionBy cumsum, with few groups spread
+    over many range partitions (a group spans several partitions)."""
+    from vbpl_web_crawl_spark.operators.sequence import grouped_cumsum
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 97).alias("v"),
+    )
+    got = grouped_cumsum(df, ["g"], ["k"], "v", "cum", num_partitions=16)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = df.withColumn("cum", F.sum("v").over(w).cast("long"))
+    a = {(r.g, r.k): r.cum for r in got.collect()}
+    b = {(r.g, r.k): r.cum for r in ref.collect()}
+    assert a == b
+    spark.catalog.clearCache()
+
+
+def test_grouped_cumsum_small_hint_identical(spark):
+    from vbpl_web_crawl_spark.operators.sequence import grouped_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 5), ("b", 1, 7), ("a", 3, 1), ("b", 2, 2)],
+        "g string, k int, v int",
+    )
+    small = {
+        (r.g, r.k): r.cum
+        for r in grouped_cumsum(df, ["g"], ["k"], "v", approx_rows=5).collect()
+    }
+    large = {(r.g, r.k): r.cum for r in grouped_cumsum(df, ["g"], ["k"], "v").collect()}
+    assert small == large == {
+        ("a", 1): 10, ("a", 2): 15, ("a", 3): 16, ("b", 1): 7, ("b", 2): 9,
+    }
+    spark.catalog.clearCache()
+
+
+def test_grouped_cumsum_more_groups_than_partitions(spark):
+    """Many tiny groups packed into few partitions (several groups per
+    partition, Arrow chunking inside) still match the window result."""
+    from vbpl_web_crawl_spark.operators.sequence import grouped_cumsum
+
+    df = spark.range(30000).select(
+        (F.col("id") % 500).alias("g"), F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    got = grouped_cumsum(df, ["g"], ["k"], "v", "cum", num_partitions=4)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = df.withColumn("cum", F.sum("v").over(w).cast("long"))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    spark.catalog.clearCache()

@@ -60,16 +60,21 @@ def global_sequence(
         )
     spark = df.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(*sort_cols)
+    # __pid is baked INTO the cached rows at materialization time, not
+    # read from TaskContext at execution time: a later query can place
+    # this operator's output on the right branch of a union-shaped
+    # stage (exceptAll, unionAll), where the TASK partition id is
+    # offset by the left branch's partition count — keying the offset
+    # map on it would silently drop every group's cross-partition base
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
     ranged = ranged.persist()
     if caches is not None:
         caches.append(ranged)
-    counts = (
-        ranged.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
-        .count()
-        .collect()
-    )
+    counts = ranged.groupBy("__pid").count().collect()
     sizes = {r["__pid"]: r["count"] for r in counts}
     offsets = {}
     acc = start
@@ -81,13 +86,14 @@ def global_sequence(
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
         local = 0
-        base = b_offsets.value.get(pid, 0)
+        base = None
         for pdf in it:
             n = len(pdf)
+            if n == 0:
+                continue
+            if base is None:
+                base = b_offsets.value.get(int(pdf["__pid"].iloc[0]), 0)
             pdf = pdf.copy()
             pdf[seq_col] = pd.array(range(base + local, base + local + n), dtype="Int64")
             local += n
@@ -95,3 +101,105 @@ def global_sequence(
 
     out = ranged.mapInPandas(assign, out_schema)
     return out
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list,
+    sort_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    approx_rows: int | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running sum of ``value_col`` within
+    each ``group_cols`` group in ``sort_cols`` order.
+
+    `Window.partitionBy(group).orderBy(sort)` computes this with ONE task
+    per group — a mega-group (one dominant source/host at 100 TB) serializes
+    on a single core. The large path here keeps the sort distributed:
+
+    1. range-repartition on (group, sort) + sort within partitions — a
+       group larger than one partition spans several RANGE-ADJACENT
+       partitions,
+    2. one tiny job collects the per-(partition, group) value sums
+       (one row per group PER PARTITION it touches, not per row),
+    3. the driver prefix-sums each group's partials across its partition
+       span (bounded: partitions x groups-cut-by-a-boundary numbers),
+    4. an Arrow batch iterator adds local cumsum + the group's offset.
+
+    Deterministic whenever (group_cols + sort_cols) is a total order.
+    Output equals the window formulation exactly for integer values
+    (unit-tested); the small-input switch (``approx_rows``) is purely
+    physical, same contract as :func:`global_sequence`.
+    """
+    keys = list(group_cols) + list(sort_cols)
+    if approx_rows is not None and approx_rows <= SMALL_INPUT_THRESHOLD:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*sort_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w).cast("long"))
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # __pid baked into the cache, same union-stage-safety rationale as
+    # global_sequence above
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    if caches is not None:
+        caches.append(ranged)
+    partials = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.sum(value_col).cast("long").alias("__s"))
+        .collect()
+    )
+    # per-group prefix over the group's partition span (range partitioning
+    # makes a group's partitions contiguous, but correctness only needs
+    # "all of the group's earlier-partition sums", which this computes)
+    offsets: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for r in sorted(partials, key=lambda r: r["__pid"]):
+        g = tuple(r[c] for c in group_cols)
+        offsets[(r["__pid"],) + g] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + (r["__s"] or 0)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), True)]
+    )
+    cols = [f.name for f in out_schema.fields]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    gcols = list(group_cols)
+
+    def add_cumsum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = b_offsets.value
+        carry: dict[tuple, int] = {}
+        pid = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            pdf = pdf.copy()
+            grouped = pdf.groupby(gcols, sort=False)
+            local = grouped[value_col].cumsum()
+            base = pd.Series(0, index=pdf.index, dtype="int64")
+            for g, idx in grouped.groups.items():
+                gk = g if isinstance(g, tuple) else (g,)
+                base.loc[idx] = offs.get((pid,) + gk, 0) + carry.get(gk, 0)
+            pdf[out_col] = (local.astype("int64") + base).astype("int64")
+            # Arrow chunk boundary inside one partition: a group spanning
+            # chunks restarts its local cumsum, so roll this chunk's group
+            # totals into the next chunk's carry
+            for g, s in grouped[value_col].sum().items():
+                gk = g if isinstance(g, tuple) else (g,)
+                carry[gk] = carry.get(gk, 0) + int(s)
+            yield pdf[cols]
+
+    return ranged.mapInPandas(add_cumsum, out_schema)

@@ -1,0 +1,224 @@
+"""Round-5 training-data pipeline queries, part 3: corpus mixture
+sampling weights (temperature sampling with an epoch cap, the UniMax /
+XLM-R recipe) and concat-and-chunk sequence packing stats. Same
+(Spark plan, DuckDB oracle) contract as plans/pipeline_queries.py,
+registered into the same driver-facing registry.
+
+Reference parity notes: the reference crawler materializes one corpus
+with no sampling policy (/root/reference/app/service/vbpl.py writes
+every fetched document once); these operators are the downstream
+training-data steps a 100 TB corpus needs before the data ever reaches
+a trainer — how much of each source to draw, and how documents pack
+into fixed-length training sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.operators.sequence import grouped_cumsum
+from vbpl_web_crawl_spark.plans import pipeline_queries as PQ
+from vbpl_web_crawl_spark.plans.queries import _register
+from vbpl_web_crawl_spark.sources.tables import load_table
+
+# token count with the empty-document guard shared by text_stats_by_lang
+_NTOK_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({PQ._TOKENS_SQL}) END"
+
+
+def _ntok():
+    toks = PQ._tokens(F.col("text"))
+    return (
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture sampling weights: temperature sampling (alpha = 0.5,
+# i.e. sqrt — exactly IEEE-rounded in both engines, unlike pow) over
+# per-source token totals, with a hard per-source epoch cap the way
+# UniMax bounds repetition of small sources. Closed form, single
+# renormalization after capping:
+#
+#   w_raw_s  = sqrt(T_s) / sum_t sqrt(T_t)
+#   draws_s  = min(w_raw_s * B, C * T_s)        B = total corpus tokens
+#   share_s  = draws_s / sum_t draws_t
+#
+# Mixing is at the (source, lang) stream level (the XLM-R recipe
+# weights languages; streams here are source x lang) — the gate corpus
+# spreads stream sizes ~30x at that grain, so the cap genuinely binds.
+# Scale design: everything after the one corpus-wide groupBy token
+# aggregate (an 8-byte-key partial-agg shuffle, bodies never move)
+# runs over the bounded per-stream table — two tiny global
+# aggregates crossJoined back as broadcast single-row frames. No
+# window, no collect, no iteration: at 100 TB the cost is the one
+# token-count scan.
+# ---------------------------------------------------------------------------
+
+_MIX_CAP_EPOCHS = 2.0  # no source may be drawn more than C epochs
+
+
+@_register(
+    "mixture_sampling_weights",
+    f"""
+WITH t AS (
+  SELECT source, lang, CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source, lang
+),
+g AS (
+  SELECT CAST(sum(total_tokens) AS DOUBLE) AS b,
+         sum(sqrt(CAST(total_tokens AS DOUBLE))) AS z
+  FROM t
+),
+w AS (
+  SELECT source, lang, total_tokens,
+         sqrt(CAST(total_tokens AS DOUBLE)) / z AS w_raw,
+         least(sqrt(CAST(total_tokens AS DOUBLE)) / z * b,
+               {_MIX_CAP_EPOCHS} * total_tokens) AS draws
+  FROM t, g
+),
+d AS (SELECT sum(draws) AS dd FROM w)
+SELECT source, lang, total_tokens,
+       round(w_raw, 6) AS weight_raw,
+       CASE WHEN total_tokens = 0 THEN 0.0
+            ELSE round(w_raw * (SELECT b FROM g) / total_tokens, 4)
+       END AS epochs_uncapped,
+       (w_raw * (SELECT b FROM g) > {_MIX_CAP_EPOCHS} * total_tokens) AS capped,
+       round(draws, 2) AS draws_tokens,
+       round(draws / dd, 6) AS share_final
+FROM w, d
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) stream sampling policy for corpus mixing:
+    temperature (sqrt) weights over token totals, capped at
+    _MIX_CAP_EPOCHS epochs per stream, renormalized once — reports raw
+    weight, implied epochs, whether the cap bound, and the final token
+    share."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source", "lang").agg(F.sum(_ntok()).alias("total_tokens"))
+    g = t.agg(
+        F.sum("total_tokens").cast("double").alias("b"),
+        F.sum(F.sqrt(F.col("total_tokens").cast("double"))).alias("z"),
+    )
+    w = t.crossJoin(F.broadcast(g)).select(
+        "source",
+        "lang",
+        "total_tokens",
+        "b",
+        (F.sqrt(F.col("total_tokens").cast("double")) / F.col("z")).alias("w_raw"),
+        F.least(
+            F.sqrt(F.col("total_tokens").cast("double")) / F.col("z") * F.col("b"),
+            F.lit(_MIX_CAP_EPOCHS) * F.col("total_tokens"),
+        ).alias("draws"),
+    )
+    d = w.agg(F.sum("draws").alias("dd"))
+    return w.crossJoin(F.broadcast(d)).select(
+        "source",
+        "lang",
+        "total_tokens",
+        F.round("w_raw", 6).alias("weight_raw"),
+        F.when(F.col("total_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("w_raw") * F.col("b") / F.col("total_tokens"), 4))
+        .alias("epochs_uncapped"),
+        (
+            F.col("w_raw") * F.col("b")
+            > F.lit(_MIX_CAP_EPOCHS) * F.col("total_tokens")
+        ).alias("capped"),
+        F.round("draws", 2).alias("draws_tokens"),
+        F.round(F.col("draws") / F.col("dd"), 6).alias("share_final"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing: each source's documents are
+# concatenated in doc_id order and sliced into fixed _CTX-token
+# training sequences (the standard GPT-style packing); a document is a
+# "boundary doc" when its tokens straddle a sequence boundary (the
+# attention-masking / doc-bleed case packing-aware trainers care
+# about). The running token offset uses operators/sequence.py's
+# grouped_cumsum LARGE path — range-partitioned distributed sort +
+# per-(partition, group) partial sums + driver prefix + Arrow-batch
+# local cumsum — NOT Window.partitionBy(source), whose one-task-per-
+# group shape serializes a dominant source at 100 TB. The driver gate
+# therefore certifies the scalable machinery itself, and a pytest pins
+# the large path to the window formulation exactly.
+# ---------------------------------------------------------------------------
+
+_CTX = 512  # tokens per packed training sequence
+
+
+@_register(
+    "sequence_packing_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, source, {_NTOK_SQL} AS n_tok FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+),
+b AS (
+  SELECT source, n_tok,
+         (cum - n_tok) // {_CTX} AS start_bin,
+         CASE WHEN n_tok > 0 THEN (cum - 1) // {_CTX}
+              ELSE (cum - n_tok) // {_CTX} END AS end_bin
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tok) + {_CTX - 1}) // {_CTX} AS BIGINT) AS n_bins,
+       round(sum(n_tok) / (((sum(n_tok) + {_CTX - 1}) // {_CTX}) * {_CTX}.0), 6)
+         AS fill_ratio,
+       CAST(sum(CASE WHEN end_bin > start_bin THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs
+FROM b GROUP BY source
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing outcome at _CTX-token sequences: bins used,
+    fill ratio of the bin budget, and how many documents straddle a
+    sequence boundary under concat-and-chunk packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", _ntok().alias("n_tok"))
+    caches: list = []
+    cum = grouped_cumsum(
+        base, ["source"], ["doc_id"], "n_tok", "cum", caches=caches
+    )
+    start_bin = F.expr(f"(cum - n_tok) div {_CTX}")
+    end_bin = F.when(
+        F.col("n_tok") > 0, F.expr(f"(cum - 1) div {_CTX}")
+    ).otherwise(start_bin)
+    out = (
+        cum.select("source", "n_tok", start_bin.alias("sb"), end_bin.alias("eb"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.expr(f"(sum(n_tok) + {_CTX - 1}) div {_CTX}").alias("n_bins"),
+            F.round(
+                F.sum("n_tok")
+                / (
+                    F.expr(f"(sum(n_tok) + {_CTX - 1}) div {_CTX}")
+                    * F.lit(float(_CTX))
+                ),
+                6,
+            ).alias("fill_ratio"),
+            F.sum(F.when(F.col("eb") > F.col("sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boundary_docs"),
+        )
+    )
+    # the per-source aggregate is tiny: materialize it eagerly so the
+    # range-partitioned cache behind grouped_cumsum can be released NOW
+    # instead of leaking for the rest of the session (the winnowing
+    # persist leak pattern flagged in round 4)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist(False)
+    return out

@@ -611,6 +611,7 @@ def get_queries() -> dict[str, QueryFn]:
         extra_queries,
         pipeline_queries,
         pipeline_queries2,
+        pipeline_queries3,
     )
 
     return dict(QUERIES)
@@ -621,6 +622,7 @@ def get_oracles() -> dict[str, str]:
         extra_queries,
         pipeline_queries,
         pipeline_queries2,
+        pipeline_queries3,
     )
 
     out: dict[str, str] = {}
