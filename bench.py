@@ -56,6 +56,8 @@ HEADLINE = [
     "compaction_file_plan",
     "dsir_importance_buckets",
     "chunking_overlap_stats",
+    "mixture_sampling_weights",
+    "sequence_packing_stats",
 ]
 
 

@@ -105,3 +105,26 @@ def test_sequence_packing_empty_and_exact_fit(spark, tmp_path):
     assert got["s1"].n_bins == 1
     assert got["s1"].fill_ratio == pytest.approx(10.0 / 512.0, abs=1e-6)
     spark.catalog.clearCache()
+
+
+def test_incremental_dedup_crosses_split_only(spark, tmp_path):
+    """Planted corpus where the right pairs are known by construction:
+    doc 4 (incoming, id % 4 == 0) duplicates corpus doc 5 -> the one
+    expected pair; docs 8 and 12 duplicate each other but are BOTH
+    incoming, and docs 1/2 duplicate each other but are BOTH corpus —
+    neither may pair, because dedup-on-ingest only compares the new
+    batch against the existing corpus."""
+    dup_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))
+    dup_b = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(8))
+    rows = [
+        (1, dup_b, "en", "s0"),
+        (2, dup_b, "en", "s0"),
+        (3, " ".join(f"lone{i}" for i in range(24)), "en", "s0"),
+        (4, dup_a, "en", "s0"),
+        (5, dup_a, "en", "s0"),
+        (8, " ".join(f"ing{i} est{i}" for i in range(12)), "en", "s0"),
+        (12, " ".join(f"ing{i} est{i}" for i in range(12)), "en", "s0"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    out = get_queries()["dedup_incremental_pairs"](spark, sf).collect()
+    assert [(r.inc_id, r.corpus_id, r.jaccard) for r in out] == [(4, 5, 1.0)]

@@ -222,3 +222,105 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:
         c.unpersist(False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup-on-ingest: a NEW batch of documents (doc_id % 4
+# == 0 models the incoming recrawl slice) is near-dup-checked AGAINST
+# the existing corpus (the other 75%) — the production shape for
+# dedup at ingest time, structurally different from the self-join
+# gates: no incoming-incoming or corpus-corpus pairs are ever formed.
+# Scale design: at 100 TB the corpus side's banded MinHash table is a
+# PRECOMPUTED index (stored bucketed by band_key); the per-ingest cost
+# is shingle+sign the incoming batch (small) and an equi-join of its
+# bands against matching index buckets — shuffle volume is bounded by
+# the incoming batch, never the corpus. Here both sides' signatures
+# come from one shared capped-shingle pass (cheaper at gate scale and
+# value-identical to the split computation); the exact-Jaccard verify
+# runs only on candidate pairs, same as dedup_minhash_verified_pairs.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_incremental_pairs",
+    lambda: f"""
+WITH sh AS ({PQ._CAPPED_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS inc_id, b.doc_id AS corpus_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.inc_id, c.corpus_id,
+       round(CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.inc_id
+JOIN sizes sb ON sb.doc_id = c.corpus_id
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+      >= {PQ._MINHASH_VERIFY_TAU}
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-batch near-dups against the existing corpus: banded
+    integer MinHash (shared with dedup_minhash_verified_pairs) joined
+    ACROSS the split only, exact-Jaccard verified at tau=0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = PQ.capped_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(PQ._MINHASH_K_INT)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(PQ._MINHASH_BANDS_INT)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    inc = bands.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("inc_id"), "band_id", "band_key"
+    )
+    corp = bands.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_key"
+    )
+    cand = (
+        inc.join(corp, ["band_id", "band_key"])
+        .select("inc_id", "corpus_id")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("inc_id"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    common = (
+        cand.join(sh_a, "inc_id")
+        .join(sh_b, ["corpus_id", "shingle"])
+        .groupBy("inc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("doc_id", "n_sh")
+    sa = sizes.select(F.col("doc_id").alias("inc_id"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_sh_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "inc_id")
+        .join(sb, "corpus_id")
+        .filter(jac >= PQ._MINHASH_VERIFY_TAU)
+        .select("inc_id", "corpus_id", F.round(jac, 4).alias("jaccard"))
+    )
