@@ -128,3 +128,49 @@ def test_incremental_dedup_crosses_split_only(spark, tmp_path):
     sf = _write_docs(spark, rows, tmp_path)
     out = get_queries()["dedup_incremental_pairs"](spark, sf).collect()
     assert [(r.inc_id, r.corpus_id, r.jaccard) for r in out] == [(4, 5, 1.0)]
+
+
+def test_mixture_materialize_hash_order_prefix(spark, tmp_path):
+    """Two streams with known budgets: the selected set must be exactly
+    the md5(doc_id)-ordered prefix that fills each stream's one-epoch
+    budget, straddler included. Expected sets computed independently
+    in pure Python."""
+    import hashlib
+
+    rows = [
+        (i, " ".join(f"b{i}_{j}" for j in range(10)), "en", "big")
+        for i in range(1, 11)
+    ] + [(100 + i, " ".join(f"s{i}_{j}" for j in range(5)), "en", "small")
+         for i in range(2)]
+    sf = _write_docs(spark, rows, tmp_path)
+    got = {
+        r.source: r
+        for r in get_queries()["mixture_materialize_stats"](spark, sf).collect()
+    }
+    # totals: big=100, small=10; z = 10+sqrt(10); budgets:
+    # big: min(sqrt(100)/z*110, 200, 100); small: min(sqrt(10)/z*110, 20, 10)
+    z = 10.0 + math.sqrt(10.0)
+    b_big = min(10.0 / z * 110.0, 100.0)
+    b_small = min(math.sqrt(10.0) / z * 110.0, 20.0, 10.0)
+    # expected selection: hash-order docs, take while cum_before < budget
+    def expect(ids, tok, budget):
+        order = sorted(ids, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        cum, n, t = 0, 0, 0
+        for d in order:
+            if cum < budget:
+                n += 1
+                t += tok
+            cum += tok
+        return n, t
+    n_big, t_big = expect(list(range(1, 11)), 10, b_big)
+    n_small, t_small = expect([100, 101], 5, b_small)
+    assert (got["big"].n_docs_selected, got["big"].tokens_selected) == (n_big, t_big)
+    assert (got["small"].n_docs_selected, got["small"].tokens_selected) == (
+        n_small,
+        t_small,
+    )
+    assert got["big"].budget_tokens == pytest.approx(round(b_big, 2))
+    assert got["small"].budget_tokens == pytest.approx(round(b_small, 2))
+    # overshoot only ever comes from the straddling doc
+    assert got["big"].tokens_selected - b_big < 10
+    spark.catalog.clearCache()

@@ -324,3 +324,116 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= PQ._MINHASH_VERIFY_TAU)
         .select("inc_id", "corpus_id", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture MATERIALIZATION: turn the sampling policy into an actual
+# document selection. Within each (source, lang) stream, documents are
+# ordered by md5(doc_id) (deterministic, partition-invariant — the
+# same hash-order trick as stratified_sample_by_lang) and taken until
+# the stream's one-epoch token budget min(draws, T_s) is filled; the
+# straddling document is included. The running token total comes from
+# operators/sequence.py::grouped_cumsum's range-partitioned LARGE path
+# — not Window.partitionBy(stream), whose one-task-per-group shape
+# serializes a dominant stream at 100 TB. Only (ids, token counts,
+# 32-char keys) move through the cumsum shuffle; document bodies are
+# read once in the token-count scan and never shuffled. The budget
+# table is bounded by the number of streams and broadcasts.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mixture_materialize_stats",
+    lambda: f"""
+WITH base AS (
+  SELECT source, lang, doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+),
+t AS (
+  SELECT source, lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM base GROUP BY source, lang
+),
+g AS (
+  SELECT CAST(sum(total_tokens) AS DOUBLE) AS b,
+         sum(sqrt(CAST(total_tokens AS DOUBLE))) AS z
+  FROM t
+),
+w AS (
+  SELECT source, lang,
+         least(least(sqrt(CAST(total_tokens AS DOUBLE)) / z * b,
+                     {_MIX_CAP_EPOCHS} * total_tokens),
+               CAST(total_tokens AS DOUBLE)) AS budget
+  FROM t, g
+),
+cum AS (
+  SELECT source, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY source, lang ORDER BY key, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM base
+),
+sel AS (
+  SELECT c.source, c.lang, c.n_tok, w.budget
+  FROM cum c JOIN w USING (source, lang)
+  WHERE CAST(c.cum - c.n_tok AS DOUBLE) < w.budget
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs_selected,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_selected,
+       round(any_value(budget), 2) AS budget_tokens,
+       round(CAST(sum(n_tok) AS DOUBLE) / any_value(budget), 4)
+         AS overshoot_ratio
+FROM sel GROUP BY source, lang
+""",
+)
+def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the one-epoch slice of the corpus mixture: per
+    stream, hash-ordered documents are selected until the token budget
+    min(temperature draws, stream size) is met (straddler included);
+    reports docs/tokens selected, the budget, and the overshoot from
+    the straddling document."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        _ntok().alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+    )
+    t = base.groupBy("source", "lang").agg(F.sum("n_tok").alias("total_tokens"))
+    g = t.agg(
+        F.sum("total_tokens").cast("double").alias("b"),
+        F.sum(F.sqrt(F.col("total_tokens").cast("double"))).alias("z"),
+    )
+    tt = F.col("total_tokens")
+    w = t.crossJoin(F.broadcast(g)).select(
+        "source",
+        "lang",
+        F.least(
+            F.least(
+                F.sqrt(tt.cast("double")) / F.col("z") * F.col("b"),
+                F.lit(_MIX_CAP_EPOCHS) * tt,
+            ),
+            tt.cast("double"),
+        ).alias("budget"),
+    )
+    caches: list = []
+    cum = grouped_cumsum(
+        base, ["source", "lang"], ["key", "doc_id"], "n_tok", "cum", caches=caches
+    )
+    sel = cum.join(F.broadcast(w), ["source", "lang"]).filter(
+        (F.col("cum") - F.col("n_tok")).cast("double") < F.col("budget")
+    )
+    out = sel.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_selected"),
+        F.sum("n_tok").alias("tokens_selected"),
+        F.round(F.first("budget"), 2).alias("budget_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.first("budget"), 4
+        ).alias("overshoot_ratio"),
+    )
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist(False)
+    return out
