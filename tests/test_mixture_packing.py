@@ -174,3 +174,30 @@ def test_mixture_materialize_hash_order_prefix(spark, tmp_path):
     # overshoot only ever comes from the straddling doc
     assert got["big"].tokens_selected - b_big < 10
     spark.catalog.clearCache()
+
+
+def test_alignment_funnel_planted_geometry(spark, tmp_path):
+    """Label 0: anchor (min vec_id) e0, one identical vector (cos 1.0),
+    one orthogonal (cos 0.0), one opposite (cos -1.0) — thresholds and
+    the integer-summed mean are known exactly."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [2.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 3.0, 0.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0, 0.0], 0),
+        (10, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/embeddings.parquet")
+    got = {
+        r.label: r
+        for r in get_queries()["multimodal_alignment_funnel"](spark, sf).collect()
+    }
+    l0 = got[0]
+    assert (l0.n_pairs, l0.keep_t00, l0.keep_t20, l0.keep_t40) == (4, 3, 2, 2)
+    assert l0.avg_score == pytest.approx((1.0 + 1.0 + 0.0 - 1.0) / 4.0)
+    l1 = got[1]
+    assert (l1.n_pairs, l1.keep_t40, l1.avg_score) == (1, 1, 1.0)

@@ -437,3 +437,86 @@ def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:
         c.unpersist(False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Image-text alignment filter funnel (the LAION/DataComp recipe:
+# score every image-text pair, keep pairs above a threshold, report
+# the retention curve). The sandbox has no CLIP, so the score proxy is
+# deterministic and engine-exact: cosine of each embedding against its
+# label-group ANCHOR (the group's min-vec_id embedding) — per-row
+# arithmetic only, no cross-row float accumulation whose summation
+# order could differ between engines. Per-pair scores round to 4dp and
+# aggregate as INTEGERS (sum of round(score*1e4)) so the per-label
+# mean is order-independent bit-for-bit. Scale: the anchor table is
+# bounded by the label count and broadcasts; everything else is one
+# scan + per-row higher-order-function math + an 8-byte-key partial
+# agg. Swapping the proxy for a real CLIP head changes only the score
+# expression (a Pandas-UDF batch over the same join), not the plan.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_alignment_funnel",
+    """
+WITH a AS (
+  SELECT label, min_by(embedding::DOUBLE[], vec_id) AS av
+  FROM embeddings GROUP BY label
+),
+s AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(e.embedding::DOUBLE[], a.av)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(a.av, a.av))) AS score
+  FROM embeddings e JOIN a USING (label)
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN score >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS keep_t00,
+       CAST(sum(CASE WHEN score >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS keep_t20,
+       CAST(sum(CASE WHEN score >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS keep_t40,
+       round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / count(*), 4) AS avg_score
+FROM s GROUP BY label
+""",
+)
+def q_alignment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label image-text alignment retention funnel: cosine of each
+    embedding vs its label anchor (min vec_id), kept-pair counts at
+    thresholds 0.0 / 0.2 / 0.4 and the drift-free mean score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    anchors = emb.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("av")
+    )
+    joined = emb.join(F.broadcast(anchors), "label")
+    score = dot(F.col("embedding"), F.col("av")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("av"), F.col("av")))
+    )
+    s = joined.select("label", score.alias("score"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("score") >= 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("keep_t00"),
+        F.sum(F.when(F.col("score") >= 0.2, 1).otherwise(0))
+        .cast("long")
+        .alias("keep_t20"),
+        F.sum(F.when(F.col("score") >= 0.4, 1).otherwise(0))
+        .cast("long")
+        .alias("keep_t40"),
+        F.round(
+            F.sum(F.round(F.col("score") * 10000).cast("long")).cast("double")
+            / 10000.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_score"),
+    )
