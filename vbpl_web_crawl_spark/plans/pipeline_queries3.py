@@ -520,3 +520,87 @@ def q_alignment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Politeness capacity planner — the pre-flight scheduling analysis for
+# a politeness-bounded crawl (the reference's ceiling of ~2.7 pages/s
+# is exactly this arithmetic: 8 threads x 3 s sleep,
+# /root/reference/app/service/vbpl.py's per-request sleep). Per host:
+# pages x crawl-delay = serial fetch time (per-host concurrency is 1
+# under politeness); the fleet makespan is the max host, utilization =
+# total work / (hosts x makespan). Host = documents.source; the
+# per-host crawl-delay is hash-derived (1-5 s, md5-exact in both
+# engines) the way robots.txt Crawl-delay varies per host. Scale: one
+# count-only scan (no text column read), an 8-byte-key agg bounded by
+# the host count, and a broadcast single-row global — the plan a 10^10
+# frontier needs, since per-host page counts are the frontier's
+# partition histogram.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "crawl_capacity_plan",
+    """
+WITH h AS (
+  SELECT source AS host, CAST(count(*) AS BIGINT) AS n_pages,
+         1 + CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) % 5 AS delay_s
+  FROM documents GROUP BY source
+),
+hh AS (
+  SELECT host, n_pages, CAST(delay_s AS BIGINT) AS delay_s,
+         CAST(n_pages * delay_s AS BIGINT) AS serial_s
+  FROM h
+),
+g AS (
+  SELECT max(serial_s) AS makespan, sum(serial_s) AS total_work,
+         count(*) AS n_hosts
+  FROM hh
+)
+SELECT host, n_pages, delay_s, serial_s,
+       serial_s = makespan AS is_bottleneck,
+       round(CAST(serial_s AS DOUBLE) / makespan, 4) AS makespan_share,
+       round(CAST(total_work AS DOUBLE) / (n_hosts * makespan), 4)
+         AS fleet_utilization
+FROM hh, g
+""",
+)
+def q_crawl_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness capacity plan: serial fetch seconds
+    (pages x hash-derived crawl-delay), the bottleneck host that sets
+    the fleet makespan, each host's share of it, and overall fleet
+    utilization under one-connection-per-host politeness."""
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    h = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    delay = (
+        F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("host")), 1, 4), 16, 10).cast("long") % 5
+    )
+    hh = h.select(
+        "host",
+        "n_pages",
+        delay.cast("long").alias("delay_s"),
+        (F.col("n_pages") * delay).cast("long").alias("serial_s"),
+    )
+    g = hh.agg(
+        F.max("serial_s").alias("makespan"),
+        F.sum("serial_s").alias("total_work"),
+        F.count(F.lit(1)).alias("n_hosts"),
+    )
+    return hh.crossJoin(F.broadcast(g)).select(
+        "host",
+        "n_pages",
+        "delay_s",
+        "serial_s",
+        (F.col("serial_s") == F.col("makespan")).alias("is_bottleneck"),
+        F.round(F.col("serial_s").cast("double") / F.col("makespan"), 4).alias(
+            "makespan_share"
+        ),
+        F.round(
+            F.col("total_work").cast("double")
+            / (F.col("n_hosts") * F.col("makespan")),
+            4,
+        ).alias("fleet_utilization"),
+    )
