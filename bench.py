@@ -58,6 +58,10 @@ HEADLINE = [
     "chunking_overlap_stats",
     "mixture_sampling_weights",
     "sequence_packing_stats",
+    "mixture_materialize_stats",
+    "dedup_incremental_pairs",
+    "multimodal_alignment_funnel",
+    "crawl_capacity_plan",
 ]
 
 

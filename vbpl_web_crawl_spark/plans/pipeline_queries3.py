@@ -604,3 +604,86 @@ def q_crawl_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fleet_utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup representative selection: production dedup keeps
+# the HIGHEST-QUALITY member of each near-dup cluster (the min-id
+# representative of dedup_corpus_keep_one is the cheap default).
+# The (quality, doc_id-tiebreak) argmax is packed into ONE BIGINT
+# priority — quality in exact quarter units * 10^12 plus an inverted
+# doc_id — so both engines reduce with a plain integer max: no
+# arg_max/min_by tiebreak ambiguity, no float comparison, and at scale
+# the reduction is a map-side-combining 8-byte agg keyed by cluster.
+# Clusters come from the same large/small-star contraction the CC gate
+# certifies; quality is functions/text.py::quality_score.
+# ---------------------------------------------------------------------------
+
+_PACK = 10**12  # doc_id < _PACK at every SF; quality quarters ride above
+
+
+@_register(
+    "dedup_keep_best_quality",
+    lambda: f"""
+WITH cc AS ({PQ._CC_ORACLE}),
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({PQ._TOKENS_SQL}) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter({PQ._TOKENS_SQL},
+             x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) AS stop_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 2 ELSE 0 END
+        + CASE WHEN punct_ratio < 0.2 THEN 1 ELSE 0 END
+        + CASE WHEN stop_hits > 0 THEN 1 ELSE 0 END) AS q4
+  FROM t
+),
+sel AS (
+  SELECT cc.cluster_id,
+         max(q.q4 * {_PACK} + ({_PACK - 1} - cc.doc_id)) AS pr,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM cc JOIN q USING (doc_id) GROUP BY cc.cluster_id
+)
+SELECT cluster_id,
+       CAST({_PACK - 1} - pr % {_PACK} AS BIGINT) AS kept_doc,
+       round(CAST(pr // {_PACK} AS DOUBLE) / 4, 2) AS kept_quality,
+       n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM sel
+""",
+)
+def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: keep the highest-quality member (doc_id
+    tiebreak), via a packed-integer argmax over the CC labels."""
+    from vbpl_web_crawl_spark.functions import text as TX
+    from vbpl_web_crawl_spark.plans.queries import QUERIES
+
+    cc = QUERIES["dedup_connected_components"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (TX.quality_score(F.col("text")) * 4).cast("long").alias("q4"),
+    )
+    pr = F.col("q4") * F.lit(_PACK) + (F.lit(_PACK - 1) - F.col("doc_id"))
+    sel = (
+        cc.join(docs, "doc_id")
+        .select("cluster_id", pr.alias("pr"))
+        .groupBy("cluster_id")
+        .agg(F.max("pr").alias("pr"), F.count(F.lit(1)).alias("n_members"))
+    )
+    return sel.select(
+        "cluster_id",
+        (F.lit(_PACK - 1) - F.col("pr") % F.lit(_PACK)).alias("kept_doc"),
+        F.round(
+            F.expr(f"pr div {_PACK}").cast("double") / F.lit(4.0), 2
+        ).alias("kept_quality"),
+        "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )
