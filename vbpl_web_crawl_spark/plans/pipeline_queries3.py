@@ -687,3 +687,88 @@ def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: rank the whole corpus by (quality desc, doc_id)
+# — the easy-to-hard (or clean-to-noisy) global order a curriculum
+# trainer feeds batches in — and report per-decile document/token
+# sums. The global rank uses operators/sequence.py::global_sequence's
+# LARGE path (range-partition + per-partition offsets), NOT a
+# single-task Window.orderBy: this gate makes the driver certify the
+# distributed ranking machinery against the oracle's row_number().
+# Sort keys are integers (packed quality quarters descending via
+# negation, doc_id tiebreak); deciles come from the rank, so the
+# output is partitioning-invariant.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "curriculum_order_deciles",
+    lambda: f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({PQ._TOKENS_SQL}) END AS n_tok,
+         (CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len({PQ._TOKENS_SQL}) END)
+                    BETWEEN 10 AND 5000 THEN 2 ELSE 0 END
+        + CASE WHEN (CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / length(text) ELSE 0.0 END) < 0.2 THEN 1 ELSE 0 END
+        + CASE WHEN len(list_filter({PQ._TOKENS_SQL},
+               x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) > 0
+               THEN 1 ELSE 0 END) AS q4
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok, q4,
+         row_number() OVER (ORDER BY -q4, doc_id) - 1 AS rnk,
+         (SELECT count(*) FROM t) AS n
+  FROM t
+)
+SELECT CAST(rnk * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       round(CAST(sum(q4) AS DOUBLE) / count(*) / 4, 4) AS mean_quality,
+       CAST(min(rnk) AS BIGINT) AS first_rank,
+       CAST(max(rnk) AS BIGINT) AS last_rank
+FROM r GROUP BY decile
+""",
+)
+def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-to-noisy curriculum rank over the whole corpus (quality
+    desc, doc_id tiebreak) via the distributed global_sequence large
+    path; per-decile doc/token totals and mean quality."""
+    from vbpl_web_crawl_spark.functions import text as TX
+    from vbpl_web_crawl_spark.operators.sequence import global_sequence
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        _ntok().alias("n_tok"),
+        (TX.quality_score(F.col("text")) * 4).cast("long").alias("q4"),
+    )
+    caches: list = []
+    ranked = global_sequence(
+        t, [(-F.col("q4")).alias("negq"), F.col("doc_id")], seq_col="rnk",
+        caches=caches,
+    )
+    n = ranked.count()
+    out = (
+        ranked.select(
+            F.expr(f"rnk * 10 div {n}").alias("decile"), "n_tok", "q4", "rnk"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.round(
+                F.sum("q4").cast("double") / F.count(F.lit(1)) / F.lit(4), 4
+            ).alias("mean_quality"),
+            F.min("rnk").alias("first_rank"),
+            F.max("rnk").alias("last_rank"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist(False)
+    return out
