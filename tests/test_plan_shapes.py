@@ -244,6 +244,49 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] == 0
         and "mapInPandas" not in p
     ),
+    "mixture_sampling_weights": lambda p, n: (
+        # per-stream table eagerly checkpointed: the raw document scan
+        # ran once at build; the final plan reads only the checkpoint,
+        # cross-joining two SINGLE-ROW broadcast globals (BNLJ is the
+        # intended physical form for a 1-row dimensionless join)
+        "Scan parquet" not in p
+        and n["BroadcastNestedLoopJoin"] <= 3
+        and n["SortMergeJoin"] == 0
+        and "mapInPandas" not in p
+    ),
+    "sequence_packing_stats": lambda p, n: (
+        # fully materialized via eager localCheckpoint at build (the
+        # grouped_cumsum large path + tiny per-source aggregate); the
+        # visible plan is exactly one checkpoint scan
+        "Scan parquet" not in p and n["Scan"] == 1 and n["Window"] == 0
+    ),
+    "mixture_materialize_stats": lambda p, n: (
+        "Scan parquet" not in p and n["Scan"] == 1 and n["Window"] == 0
+    ),
+    "dedup_incremental_pairs": lambda p, n: (
+        # shingles + signatures checkpointed once: no parquet re-scan,
+        # no tokenize window in the final plan; candidate generation is
+        # an equi-join (never a cross product between batch and corpus)
+        "Scan parquet" not in p
+        and n["Window"] == 0
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
+        and n["BroadcastNestedLoopJoin"] == 0
+        and n["CartesianProduct"] == 0
+    ),
+    "multimodal_alignment_funnel": lambda p, n: (
+        # anchor dim broadcasts; <= 2 passes over the embeddings table
+        # (one reduced to anchors, one scoring pass)
+        n["BroadcastHashJoin"] == 1
+        and n["SortMergeJoin"] == 0
+        # two embedding-table passes: each parquet scan appears twice
+        # in "formatted" output (tree line + detail header)
+        and p.count("Scan parquet") <= 4
+        and "mapInPandas" not in p
+    ),
+    "crawl_capacity_plan": lambda p, n: (
+        # host table checkpointed at build; single-row global broadcast
+        "Scan parquet" not in p and n["BroadcastNestedLoopJoin"] <= 1
+    ),
 }
 
 
@@ -308,3 +351,27 @@ def test_sessionize_groupby_reuses_window_partitioning(spark):
     # already in the bench expectations; keep an explicit named guard
     plan = _plan(spark, "sessionize_events_gap")
     assert _shuffles(_nodes(plan)) == 1
+
+
+def test_alignment_funnel_broadcasts_anchors(spark):
+    """The per-label anchor table must broadcast — a shuffled join on
+    label would move every embedding row for a <=#labels-row dim."""
+    plan = _plan(spark, "multimodal_alignment_funnel")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_capacity_plan_broadcasts_global_and_prunes_scan(spark):
+    """Single-row global broadcast; the host table is checkpointed at
+    build so the visible plan re-reads no parquet at all."""
+    plan = _plan(spark, "crawl_capacity_plan")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """Candidate generation must stay an equi-join on (band_id,
+    band_key) — never a cross product between batch and corpus."""
+    plan = _plan(spark, "dedup_incremental_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

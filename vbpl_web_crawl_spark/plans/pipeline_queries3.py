@@ -98,7 +98,15 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, implied epochs, whether the cap bound, and the final token
     share."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.groupBy("source", "lang").agg(F.sum(_ntok()).alias("total_tokens"))
+    # t is the bounded per-stream table, but it feeds g, w and (via w)
+    # d + the final projection — without materialization each consumer
+    # re-runs the full token-count scan (4 document scans in the
+    # physical plan). One eager localCheckpoint = one scan at any SF.
+    t = (
+        docs.groupBy("source", "lang")
+        .agg(F.sum(_ntok()).alias("total_tokens"))
+        .localCheckpoint(eager=True)
+    )
     g = t.agg(
         F.sum("total_tokens").cast("double").alias("b"),
         F.sum(F.sqrt(F.col("total_tokens").cast("double"))).alias("z"),
@@ -267,14 +275,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MinHash (shared with dedup_minhash_verified_pairs) joined
     ACROSS the split only, exact-Jaccard verified at tau=0.8."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = PQ.capped_shingles(docs)
+    # the capped-shingle frame feeds FOUR consumers (signatures, sizes,
+    # and both verify sides) and the signature table two more; without
+    # materialization each branch re-runs the tokenize+window+DF-cap
+    # pipeline from the raw scan (12 scans / 12 windows in the physical
+    # plan). localCheckpoint once, same pattern as winnow_fingerprints.
+    sh = PQ.capped_shingles(docs).localCheckpoint(eager=True)
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(PQ._MINHASH_K_INT)
         ],
-    )
+    ).localCheckpoint(eager=True)  # reread by bands + both size sides
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -394,13 +407,16 @@ def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports docs/tokens selected, the budget, and the overshoot from
     the straddling document."""
     docs = load_table(spark, sf_dir, "documents")
+    # narrow per-doc frame (ids, counts, keys — no text) read by both
+    # the budget aggregation and the cumsum path: checkpoint so the
+    # token-count scan over document bodies runs exactly once
     base = docs.select(
         "source",
         "lang",
         "doc_id",
         _ntok().alias("n_tok"),
         F.md5(F.col("doc_id").cast("string")).alias("key"),
-    )
+    ).localCheckpoint(eager=True)
     t = base.groupBy("source", "lang").agg(F.sum("n_tok").alias("total_tokens"))
     g = t.agg(
         F.sum("total_tokens").cast("double").alias("b"),
@@ -571,8 +587,12 @@ def q_crawl_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fleet makespan, each host's share of it, and overall fleet
     utilization under one-connection-per-host politeness."""
     docs = load_table(spark, sf_dir, "documents").select("source")
-    h = docs.groupBy(F.col("source").alias("host")).agg(
-        F.count(F.lit(1)).alias("n_pages")
+    # host-bounded table read by both hh and the global aggregate —
+    # checkpoint so the (narrow, but full) source scan runs once
+    h = (
+        docs.groupBy(F.col("source").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .localCheckpoint(eager=True)
     )
     delay = (
         F.lit(1)
