@@ -201,3 +201,23 @@ def test_alignment_funnel_planted_geometry(spark, tmp_path):
     assert l0.avg_score == pytest.approx((1.0 + 1.0 + 0.0 - 1.0) / 4.0)
     l1 = got[1]
     assert (l1.n_pairs, l1.keep_t40, l1.avg_score) == (1, 1, 1.0)
+
+
+def test_keep_best_quality_prefers_quality_over_id(spark, tmp_path):
+    """Docs 1 and 2 are near-identical (Jaccard > 0.9) but doc 2 ends
+    with stopwords, earning the extra quality quarter — the cluster
+    representative must be doc 2 even though doc 1 has the lower id."""
+    body = " ".join(f"tok{i} mid{i} end{i}" for i in range(20))
+    rows = [
+        (1, body, "en", "s0"),
+        (2, body + " the of", "en", "s0"),
+        (3, " ".join(f"other{i}" for i in range(30)), "en", "s0"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    out = get_queries()["dedup_keep_best_quality"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.kept_doc == 2
+    assert r.kept_quality == pytest.approx(1.0)
+    assert (r.n_members, r.n_dropped) == (2, 1)
+    spark.catalog.clearCache()
