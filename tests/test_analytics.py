@@ -1,0 +1,75 @@
+"""Planted-data semantics for the funnel and cohort-retention gates
+(oracle parity is covered by the correctness gate)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from vbpl_web_crawl_spark.plans.queries import get_queries
+
+
+def _write_events(spark, rows, tmp_path):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+    return sf
+
+
+def _t(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_requires_strict_stage_order(spark, tmp_path):
+    """User 1 completes signup<view<click<purchase in order; user 2 has
+    all four types but the purchase PRECEDES the click, so it reaches
+    stage 3 only; user 3 never signs up, so it reaches nothing."""
+    rows = [
+        (1, _t(1), 1, "signup", 0.0, ""),
+        (2, _t(2), 1, "view", 0.0, ""),
+        (3, _t(3), 1, "click", 0.0, ""),
+        (4, _t(4), 1, "purchase", 0.0, ""),
+        (5, _t(1), 2, "signup", 0.0, ""),
+        (6, _t(2), 2, "view", 0.0, ""),
+        (7, _t(3), 2, "purchase", 0.0, ""),
+        (8, _t(4), 2, "click", 0.0, ""),
+        (9, _t(1), 3, "view", 0.0, ""),
+        (10, _t(2), 3, "click", 0.0, ""),
+        (11, _t(3), 3, "purchase", 0.0, ""),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    got = {
+        r.stage: r
+        for r in get_queries()["funnel_conversion_stages"](spark, sf).collect()
+    }
+    assert got["signup"].n_users == 2
+    assert got["view"].n_users == 2
+    assert got["click"].n_users == 2
+    assert got["purchase"].n_users == 1
+    assert got["purchase"].conv_from_prev == pytest.approx(0.5)
+    assert got["purchase"].conv_from_first == pytest.approx(0.5)
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """User 1 first active in week of Jan 1 (Monday), returns 2 weeks
+    later; user 2 first active in week 2 only. Offsets and rates are
+    known by construction."""
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10), 1, "view", 0.0, ""),
+        (2, dt.datetime(2024, 1, 16, 10), 1, "view", 0.0, ""),
+        (3, dt.datetime(2024, 1, 9, 10), 2, "view", 0.0, ""),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    out = {
+        (r.cohort_week, r.week_offset): r
+        for r in get_queries()["cohort_retention_weekly"](spark, sf).collect()
+    }
+    assert out[("2024-01-01", 0)].n_active == 1
+    assert out[("2024-01-01", 2)].n_active == 1
+    assert out[("2024-01-01", 2)].retention == pytest.approx(1.0)
+    assert out[("2024-01-08", 0)].n_active == 1
+    assert len(out) == 3

@@ -375,3 +375,25 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = _plan(spark, "dedup_incremental_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_cascade_is_single_shuffle(spark):
+    """The three cascaded running-min windows and the per-user flag
+    aggregation must all reuse ONE user_id exchange — the 4-join
+    formulation would shuffle four times."""
+    import re as _re
+
+    from vbpl_web_crawl_spark.plans.analytics_queries import funnel_user_flags
+    from vbpl_web_crawl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        funnel_user_flags(ev).explain("formatted")
+    p = buf.getvalue()
+    n_exchange = len(_re.findall(r"^\s*\(\d+\)\s+Exchange", p, _re.M))
+    assert n_exchange == 1
+    assert len(_re.findall(r"^\s*\(\d+\)\s+Window", p, _re.M)) == 3
+    assert len(_re.findall(r"^\s*\(\d+\)\s+Sort", p, _re.M)) == 1

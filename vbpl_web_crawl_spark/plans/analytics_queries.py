@@ -1,0 +1,233 @@
+"""Event-funnel and cohort-retention analytics over the events table.
+
+Two operator classes the registry did not yet cover:
+
+- ordered funnel conversion (signup -> view -> click -> purchase as a
+  strictly time-ordered subsequence per user), computed as a cascade of
+  running-min window expressions over ONE user-keyed shuffle — not the
+  naive 4-join/4-scan formulation;
+- weekly cohort retention (users grouped by first-activity week,
+  counted per week offset), one scan + the user window + the distinct.
+
+Reference parity: the reference crawler records fetch lifecycles
+(queued -> fetched -> parsed -> stored, /root/reference/app/service/
+vbpl.py) whose monitoring rollups are exactly these funnel/retention
+shapes; here they run over the driver's events table so the DuckDB
+oracle can certify them.
+
+Scale notes (100 TB): the funnel is one Exchange(user) + Sort, with all
+three cascaded Window operators reusing that single partitioning (plan-
+asserted); per-user state never materializes arrays, so a power user
+with 10^7 events costs sort time, not memory. Cohort retention shuffles
+(user) for the first-event window, then (cohort, offset, user) for the
+distinct — both 8-to-16-byte keys, bodies never move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.plans.queries import _register
+from vbpl_web_crawl_spark.sources.tables import load_table
+
+_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_user_flags(ev: DataFrame) -> DataFrame:
+    """Per-user stage-reach flags r1..r4 for the strict-order funnel —
+    the cascaded running-min windows all share one (user_id) partition
+    ordering, so the whole cascade costs a single Exchange + Sort
+    (plan-asserted in tests/test_plan_shapes.py)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    d = ev.withColumn("t1", t1)
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("t1") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("t2") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = d.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("r1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("t1") < F.col("ts")), 1
+            ).otherwise(0)
+        ).alias("r2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("t2") < F.col("ts")), 1
+            ).otherwise(0)
+        ).alias("r3"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("t3") < F.col("ts")), 1
+            ).otherwise(0)
+        ).alias("r4"),
+    )
+    return u
+
+
+@_register(
+    "funnel_conversion_stages",
+    f"""
+WITH t AS (
+  SELECT user_id, ts, event_type, event_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t1
+  FROM events
+),
+t2s AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND t1 < ts THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t2
+  FROM t
+),
+t3s AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t2 < ts THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t3
+  FROM t2s
+),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN event_type = 'view' AND t1 < ts THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN event_type = 'click' AND t2 < ts THEN 1 ELSE 0 END) AS r3,
+         max(CASE WHEN event_type = 'purchase' AND t3 < ts THEN 1 ELSE 0 END) AS r4
+  FROM t3s GROUP BY user_id
+),
+s AS (
+  SELECT CAST(sum(r1) AS BIGINT) AS n1, CAST(sum(r2) AS BIGINT) AS n2,
+         CAST(sum(r3) AS BIGINT) AS n3, CAST(sum(r4) AS BIGINT) AS n4
+  FROM u
+)
+SELECT stage, stage_idx, n_users,
+       round(CAST(n_users AS DOUBLE) / nullif(prev_users, 0), 4) AS conv_from_prev,
+       round(CAST(n_users AS DOUBLE) / nullif(first_users, 0), 4) AS conv_from_first
+FROM (
+  SELECT 'signup' AS stage, 1 AS stage_idx, n1 AS n_users, n1 AS prev_users, n1 AS first_users FROM s
+  UNION ALL SELECT 'view', 2, n2, n1, n1 FROM s
+  UNION ALL SELECT 'click', 3, n3, n2, n1 FROM s
+  UNION ALL SELECT 'purchase', 4, n4, n3, n1 FROM s
+)
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel signup -> view -> click -> purchase: per-user
+    greedy subsequence existence via cascaded running-min windows on ONE
+    user-keyed shuffle; per-stage reach counts and conversion rates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    u = funnel_user_flags(ev)
+    s = u.agg(
+        *[F.sum(f"r{i}").cast("long").alias(f"n{i}") for i in range(1, 5)]
+    ).localCheckpoint(eager=True)
+    rows = []
+    for idx, stage in enumerate(_STAGES, start=1):
+        prev = f"n{idx - 1}" if idx > 1 else "n1"
+        rows.append(
+            s.select(
+                F.lit(stage).alias("stage"),
+                F.lit(idx).alias("stage_idx"),
+                F.col(f"n{idx}").alias("n_users"),
+                F.round(
+                    F.col(f"n{idx}").cast("double")
+                    / F.nullif(F.col(prev), F.lit(0)),
+                    4,
+                ).alias("conv_from_prev"),
+                F.round(
+                    F.col(f"n{idx}").cast("double")
+                    / F.nullif(F.col("n1"), F.lit(0)),
+                    4,
+                ).alias("conv_from_first"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@_register(
+    "cohort_retention_weekly",
+    """
+WITH f AS (
+  SELECT user_id, ts,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+),
+a AS (
+  SELECT DISTINCT cohort_week,
+         CAST(date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS BIGINT)
+           AS week_offset,
+         user_id
+  FROM f
+),
+c AS (
+  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+  FROM a WHERE week_offset = 0 GROUP BY cohort_week
+)
+SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week, a.week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(CAST(count(*) AS DOUBLE) / c.cohort_size, 4) AS retention
+FROM a JOIN c USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, c.cohort_size
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    distinct-active counts and retention rate per week offset."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = F.date_trunc("week", F.col("ts"))
+    f = ev.withColumn(
+        "cohort_week", F.min(wk).over(Window.partitionBy("user_id"))
+    )
+    a = (
+        f.select(
+            "cohort_week",
+            (F.datediff(wk, F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read by cohort sizes AND the rollup
+    )
+    c = (
+        a.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count_distinct("user_id").alias("cohort_size"))
+    )
+    return (
+        a.join(F.broadcast(c), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )

@@ -608,6 +608,7 @@ def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def get_queries() -> dict[str, QueryFn]:
     # import side-effect registrations from the sibling modules
     from vbpl_web_crawl_spark.plans import (  # noqa: F401
+        analytics_queries,
         extra_queries,
         pipeline_queries,
         pipeline_queries2,
@@ -619,6 +620,7 @@ def get_queries() -> dict[str, QueryFn]:
 
 def get_oracles() -> dict[str, str]:
     from vbpl_web_crawl_spark.plans import (  # noqa: F401
+        analytics_queries,
         extra_queries,
         pipeline_queries,
         pipeline_queries2,
