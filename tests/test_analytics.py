@@ -73,3 +73,24 @@ def test_cohort_retention_offsets(spark, tmp_path):
     assert out[("2024-01-01", 2)].retention == pytest.approx(1.0)
     assert out[("2024-01-08", 0)].n_active == 1
     assert len(out) == 3
+
+
+def test_rolling_hour_window_boundary_inclusive(spark, tmp_path):
+    """Events at t, t+1h (inclusive boundary) and t+1h+1us: the second
+    event's trailing window includes the first (exactly 1h old); the
+    third drops it."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + dt.timedelta(hours=1), 1, "view", 0.0, ""),
+        (3, t0 + dt.timedelta(hours=1, microseconds=1), 1, "view", 0.0, ""),
+        (4, t0, 2, "view", 0.0, ""),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    out = {
+        r.trailing_n: r.n_events
+        for r in get_queries()["rolling_hour_rate_histogram"](spark, sf).collect()
+    }
+    # user1: counts 1 (first), 2 (second: first is exactly 1h old,
+    # inclusive), 2 (third: first dropped, second retained); user2: 1
+    assert out == {1: 2, 2: 2}

@@ -231,3 +231,52 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-RANGE window (the rate-limiter / rolling-rate shape:
+# "events in the last hour as of each event"). This is the one window
+# frame class the registry lacked — a RANGE frame over event time, not
+# a ROWS frame. Frame bounds are exact integer MICROSECONDS on both
+# engines (unix_micros / epoch_us — the same trick the range-join gate
+# uses), so inclusion at the boundary cannot drift through float or
+# second-truncation. Output is the global histogram of trailing counts
+# (bounded rows). Scale: one user-keyed Exchange + Sort; the range
+# frame is evaluated by Spark's sliding frame code in one pass per
+# partition — no self-join against a time-bucketed copy.
+# ---------------------------------------------------------------------------
+
+_TRAIL_US = 3_600_000_000  # 1 hour
+
+
+@_register(
+    "rolling_hour_rate_histogram",
+    f"""
+WITH r AS (
+  SELECT user_id,
+         CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS trailing_n
+  FROM events
+)
+SELECT trailing_n, CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY trailing_n
+""",
+)
+def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-event trailing-1-hour event counts per user —
+    the rolling-rate window, RANGE-framed on exact microseconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return (
+        ev.select(F.count(F.lit(1)).over(w).alias("trailing_n"))
+        .groupBy("trailing_n")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
