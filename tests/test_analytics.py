@@ -94,3 +94,44 @@ def test_rolling_hour_window_boundary_inclusive(spark, tmp_path):
     # user1: counts 1 (first), 2 (second: first is exactly 1h old,
     # inclusive), 2 (third: first dropped, second retained); user2: 1
     assert out == {1: 2, 2: 2}
+
+
+def test_ab_lift_known_counts(spark, tmp_path):
+    """Hash assignment is deterministic: compute expected arms in pure
+    Python (md5 parity) for 6 users, plant conversions so arm rates and
+    the z statistic are known in closed form."""
+    import hashlib
+    import math
+
+    users = list(range(1, 13))
+    arms = {
+        u: "A"
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:2], 16) % 2 == 0
+        else "B"
+        for u in users
+    }
+    a_users = [u for u in users if arms[u] == "A"]
+    b_users = [u for u in users if arms[u] == "B"]
+    assert a_users and b_users  # split actually happens for these ids
+    # first user of each arm converts (one high-value purchase)
+    conv = {a_users[0], b_users[0]}
+    rows, eid = [], 0
+    for u in users:
+        eid += 1
+        rows.append((eid, _t(u), u, "view", 0.0, ""))
+        if u in conv:
+            eid += 1
+            rows.append((eid, _t(u + 30), u, "purchase", 250.0, ""))
+        else:
+            eid += 1
+            rows.append((eid, _t(u + 30), u, "purchase", 10.0, ""))
+    sf = _write_events(spark, rows, tmp_path)
+    got = {r.arm: r for r in get_queries()["ab_experiment_lift"](spark, sf).collect()}
+    na, nb = len(a_users), len(b_users)
+    assert (got["A"].n_users, got["A"].n_converted) == (na, 1)
+    assert (got["B"].n_users, got["B"].n_converted) == (nb, 1)
+    pa, pb = 1.0 / na, 1.0 / nb
+    pool = 2.0 / (na + nb)
+    z = (pb - pa) / math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    assert got["A"].lift_abs == pytest.approx(round(pb - pa, 4))
+    assert got["A"].z_stat == pytest.approx(round(z, 4))

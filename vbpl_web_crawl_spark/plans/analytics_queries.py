@@ -280,3 +280,111 @@ def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trailing_n")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B experiment readout: users are hash-assigned to
+# arms (md5(user_id) parity — the stable-bucketing trick every online
+# experiment framework uses, same md5 convention as
+# stratified_sample_by_lang), the metric is purchase conversion, and
+# the readout is lift plus a closed-form two-proportion z statistic.
+# All inputs to the float math are exact integer counts, so both
+# engines compute bit-identical statistics. Scale: one scan, one
+# user-keyed agg (8-byte keys), two single-row arm aggregates — the
+# z-test arithmetic runs on a 2-row frame.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ab_experiment_lift",
+    """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+         max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+         max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+         max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM s
+)
+SELECT s.arm, s.n_users, s.n_converted,
+       round(CAST(s.n_converted AS DOUBLE) / s.n_users, 4) AS conv_rate,
+       round(CAST(w.cb AS DOUBLE) / w.nb - CAST(w.ca AS DOUBLE) / w.na, 4)
+         AS lift_abs,
+       round((CAST(w.cb AS DOUBLE) / w.nb - CAST(w.ca AS DOUBLE) / w.na)
+             / nullif(sqrt(((CAST(w.ca AS DOUBLE) + w.cb) / (w.na + w.nb))
+                    * (1 - (CAST(w.ca AS DOUBLE) + w.cb) / (w.na + w.nb))
+                    * (1.0 / w.na + 1.0 / w.nb)), 0), 4) AS z_stat
+FROM s, w
+""",
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned A/B arms over users, high-value (>= 200)
+    purchase-conversion rates, absolute lift (B - A) and the pooled
+    two-proportion z statistic (NULL when degenerate)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    s = (
+        u.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .localCheckpoint(eager=True)  # 2-row frame, read twice below
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca").cast("double") + F.col("cb")) / (
+        F.col("na") + F.col("nb")
+    )
+    z = (pb - pa) / F.nullif(
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        ),
+        F.lit(0.0),
+    )
+    return s.crossJoin(F.broadcast(w)).select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_users"), 4).alias(
+            "conv_rate"
+        ),
+        F.round(pb - pa, 4).alias("lift_abs"),
+        F.round(z, 4).alias("z_stat"),
+    )
