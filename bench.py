@@ -62,6 +62,10 @@ HEADLINE = [
     "dedup_incremental_pairs",
     "multimodal_alignment_funnel",
     "crawl_capacity_plan",
+    "funnel_conversion_stages",
+    "cohort_retention_weekly",
+    "rolling_hour_rate_histogram",
+    "ab_experiment_lift",
 ]
 
 

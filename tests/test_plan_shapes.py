@@ -287,6 +287,30 @@ _BENCH_PLAN_EXPECT = {
         # host table checkpointed at build; single-row global broadcast
         "Scan parquet" not in p and n["BroadcastNestedLoopJoin"] <= 1
     ),
+    "funnel_conversion_stages": lambda p, n: (
+        # per-user flags + totals materialize at build (one user-keyed
+        # Exchange, asserted by test_funnel_cascade_is_single_shuffle);
+        # the visible plan is the 4-stage union over the 1-row totals
+        "Scan parquet" not in p and n["Union"] == 1
+    ),
+    "cohort_retention_weekly": lambda p, n: (
+        # distinct (cohort, offset, user) frame checkpointed once;
+        # cohort sizes broadcast back against it
+        "Scan parquet" not in p
+        and n["BroadcastHashJoin"] >= 1
+        and n["SortMergeJoin"] == 0
+    ),
+    "rolling_hour_rate_histogram": lambda p, n: (
+        # one parquet pass, one user-keyed RANGE window, no self-join
+        p.count("Scan parquet") <= 2
+        and n["Window"] == 1
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"]
+        + n["ShuffledHashJoin"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "ab_experiment_lift": lambda p, n: (
+        # 2-row arm stats checkpointed; single-row broadcast cross join
+        "Scan parquet" not in p and n["BroadcastNestedLoopJoin"] <= 1
+    ),
 }
 
 
