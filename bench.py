@@ -69,6 +69,27 @@ HEADLINE = [
 ]
 
 
+def _cpu_sample() -> list[int] | None:
+    """Aggregate jiffies from /proc/stat (user..steal), or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return [int(v) for v in parts[1:9]]
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """% of elapsed jiffies the hypervisor stole between two samples —
+    the single number that tells a real regression from a noisy-host
+    window when comparing bench artifacts across rounds."""
+    if before is None or after is None:
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot > 0 else None
+
+
 def run_queries(spark) -> dict[str, float]:
     from vbpl_web_crawl_spark.plans.queries import get_queries
 
@@ -201,7 +222,9 @@ def main() -> None:
     from vbpl_web_crawl_spark.session import get_spark
 
     spark = get_spark("bench", cpus=CPUS)
+    c0 = _cpu_sample()
     queries = run_queries(spark)
+    steal_queries = _steal_pct(c0, _cpu_sample())
     # fresh context for the crawl replay: 20 queries leave shuffle files,
     # codegen caches and GC debt behind — measured ~25% drag on the
     # replay wall when it shares their session, which made r04's crawl
@@ -210,9 +233,13 @@ def main() -> None:
     spark.stop()
     spark = get_spark("bench_crawl", cpus=CPUS)
     spark.range(1000).selectExpr("sum(id)").collect()
+    c1 = _cpu_sample()
     crawl = run_crawl(spark)
+    crawl["steal_pct"] = _steal_pct(c1, _cpu_sample())
     spark.stop()
+    c2 = _cpu_sample()
     scaling = run_scaling()
+    scaling["steal_pct"] = _steal_pct(c2, _cpu_sample())
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -221,6 +248,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "steal_pct_queries": steal_queries,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "crawl": crawl,
                 "scaling": scaling,
