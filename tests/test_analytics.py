@@ -135,3 +135,47 @@ def test_ab_lift_known_counts(spark, tmp_path):
     z = (pb - pa) / math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
     assert got["A"].lift_abs == pytest.approx(round(pb - pa, 4))
     assert got["A"].z_stat == pytest.approx(round(z, 4))
+
+
+def test_triangle_count_planted_graph(spark, tmp_path):
+    """Orders {1,2,3}, {2,3,4} and {5,6}: co-purchase edges 12, 13,
+    23, 24, 34, 56 -> exactly two triangles ({1,2,3} and {2,3,4}),
+    6 nodes, 6 edges."""
+    rows = []
+    for ok, parts in [(1, (1, 2, 3)), (2, (2, 3, 4)), (3, (5, 6))]:
+        for i, pk in enumerate(parts):
+            rows.append((ok, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         __import__("datetime").datetime(2024, 1, 1)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/lineitem.parquet")
+    r = get_queries()["triangle_count_copurchase"](spark, sf).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 6, 2)
+    spark.catalog.clearCache()
+
+
+def test_event_throttle_min_gap(spark, tmp_path):
+    """Three events 5 minutes apart at a 10-minute gap: first kept,
+    second dropped (5 min), third dropped too (5 min since PREVIOUS
+    RAW event — lag-throttle, not running-state debounce); a different
+    type on the same user is independent."""
+    rows = [
+        (1, _t(0), 1, "view", 0.0, ""),
+        (2, _t(5), 1, "view", 0.0, ""),
+        (3, _t(10), 1, "view", 0.0, ""),
+        (4, _t(0), 1, "click", 0.0, ""),
+        (5, _t(30), 1, "click", 0.0, ""),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    got = {
+        r.event_type: r
+        for r in get_queries()["event_throttle_stats"](spark, sf).collect()
+    }
+    assert (got["view"].n_events, got["view"].n_kept) == (3, 1)
+    assert (got["click"].n_events, got["click"].n_kept) == (2, 2)

@@ -388,3 +388,159 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb - pa, 4).alias("lift_abs"),
         F.round(z, 4).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the part CO-PURCHASE graph (parts linked when
+# one order contains both — the market-basket projection of lineitem;
+# the co-SUPPLY projection is near-complete on this data and its
+# triangle count is degenerate). Uses the DEGREE-ORIENTED algorithm (Cohen / Suri-Vassilvitskii
+# "Counting triangles and the curse of the last reducer", WWW'11):
+# orient every undirected edge from its lower-(degree, id) endpoint to
+# the higher one, then count directed paths u->v->w closed by u->w.
+# Orientation bounds each node's out-degree by O(sqrt(m)), so the
+# path-join never explodes on a hub node — the difference between a
+# shuffle of O(m^1.5) and O(sum deg^2) at 100 TB. Both engines run the
+# SAME oriented formulation, so the oracle certifies the scalable
+# algorithm, not a naive a<b<c join.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "triangle_count_copurchase",
+    """
+WITH pe AS (
+  SELECT DISTINCT a.part_a, a.part_b FROM (
+    SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  ) a
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT part_a AS node FROM pe UNION ALL SELECT part_b FROM pe
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.d, pe.part_a) < (db.d, pe.part_b)
+              THEN pe.part_a ELSE pe.part_b END AS u,
+         CASE WHEN (da.d, pe.part_a) < (db.d, pe.part_b)
+              THEN pe.part_b ELSE pe.part_a END AS v
+  FROM pe JOIN deg da ON da.node = pe.part_a
+          JOIN deg db ON db.node = pe.part_b
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM pe) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM oriented e1
+JOIN oriented e2 ON e2.u = e1.v
+JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the part co-purchase (market-basket)
+    graph via degree-oriented path closing (out-degree O(sqrt(m)))."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_partkey").alias("part_b"), F.col("l_orderkey").alias("o2")
+    )
+    pe = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .select(F.col("l_partkey").alias("part_a"), "part_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # read by degrees AND orientation
+    )
+    deg = (
+        pe.select(F.col("part_a").alias("node"))
+        .unionAll(pe.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("db"))
+    j = pe.join(da, "part_a").join(db, "part_b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = j.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("u"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("v"),
+    ).localCheckpoint(eager=True)  # self-joined three ways below
+    e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        oriented.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = pe.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event throttle (min-gap filter): drop events closer than _GAP_US to
+# the PREVIOUS event of the same (user, type) — the recrawl-throttle /
+# notification-debounce shape. One lag() over the (user_id, event_type)
+# window on exact microseconds; per-type kept/dropped rollup.
+# ---------------------------------------------------------------------------
+
+_GAP_US = 600_000_000  # 10 minutes
+
+
+@_register(
+    "event_throttle_stats",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= {_GAP_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(1 - CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= {_GAP_US}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS drop_ratio
+FROM g GROUP BY event_type
+""",
+)
+def q_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event throttling stats at a 10-minute min-gap (exact
+    microsecond lag over the (user, type) window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    kept = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") >= _GAP_US), 1
+    ).otherwise(0)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.round(
+            1 - F.sum(kept).cast("double") / F.count(F.lit(1)), 4
+        ).alias("drop_ratio"),
+    )
