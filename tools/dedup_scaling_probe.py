@@ -29,6 +29,13 @@ QUERIES = [
     "dedup_minhash_verified_pairs",
     "dedup_simhash_hamming_pairs",
     "dedup_winnowing_pairs",
+    # dedup_incremental_pairs is NOT probed here: textgen's planted
+    # near-dup pairs are (5k, 5k+4), which always fall in the SAME
+    # doc_id % 4 ingest class, so the cross-split pair count is 0 by
+    # lattice interaction (the driver corpus has no such id structure —
+    # 6 / 75 cross pairs at sf0.01 / sf0.1). Its shuffle machinery is
+    # the shared capped-shingle + banded-signature path the
+    # minhash_verified curve above certifies.
 ]
 
 
