@@ -1,0 +1,92 @@
+"""Stream-stream watermarked interval join (streaming/joins.py): the
+AvailableNow replay must equal the batch inner join, the physical plan
+must be StreamingSymmetricHashJoin (stateful, watermark-pruned — not a
+stateless or broadcast fallback), and the time bound must actually
+constrain matches."""
+
+import pyspark.sql.functions as F
+
+from vbpl_web_crawl_spark.streaming.joins import (
+    purchase_view_join_stream,
+    stage_events_dir,
+    streaming_purchase_view_pairs,
+)
+
+
+def _batch_pairs(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (p.p_user == v.v_user)
+        & (v.v_ts >= p.p_ts)
+        & (v.v_ts <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    return p.join(v, cond).select("purchase_id", "view_id")
+
+
+def test_stream_join_equals_batch(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    src = stage_events_dir(sf_dir)
+    got = streaming_purchase_view_pairs(spark, src, "sj_eq_test")
+    want = _batch_pairs(spark, sf_dir)
+    g = sorted((r.purchase_id, r.view_id) for r in got.collect())
+    w = sorted((r.purchase_id, r.view_id) for r in want.collect())
+    assert g == w and len(g) > 0
+
+
+def test_stream_join_plan_is_symmetric_hash(spark):
+    """The streaming plan must keep per-side keyed state — a silent
+    fallback to a stateless join would pass replay equality but break
+    on an unbounded feed."""
+    src = stage_events_dir("/root/testdata/sf0.001")
+    stream = purchase_view_join_stream(spark, src)
+    # streaming frames can't explain() pre-start; check the analyzed
+    # plan carries the join + watermarks, then the started query's
+    # lastProgress for the state store operator
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sj_plan_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [
+        op
+        for prog in [q.lastProgress]
+        if prog
+        for op in prog.get("stateOperators", [])
+    ]
+    assert any(
+        op.get("operatorName") == "symmetricHashJoin" for op in ops
+    ), f"expected symmetricHashJoin state operator, got {ops}"
+
+
+def test_interval_bound_constrains_matches(spark, tmp_path):
+    """A view 2h+1s after the purchase must NOT match; one at exactly
+    2h must. Same user throughout — only the time bound separates."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "purchase", 0.0, ""),
+        (2, "2024-01-01 11:59:59", 7, "view", 0.0, ""),  # inside
+        (3, "2024-01-01 12:00:00", 7, "view", 0.0, ""),  # boundary: inside
+        (4, "2024-01-01 12:00:01", 7, "view", 0.0, ""),  # outside
+        (5, "2024-01-01 09:59:59", 7, "view", 0.0, ""),  # before purchase
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, "
+        "event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "evsrc")
+    df.coalesce(1).write.parquet(src)
+    got = streaming_purchase_view_pairs(spark, src, "sj_bound_test")
+    assert sorted(r.view_id for r in got.collect()) == [2, 3]

@@ -763,6 +763,47 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize(spark, src, f"sess_gate_{os.getpid()}")
 
 
+_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       count(*) AS n_views,
+       min(v.event_id) AS first_view_id,
+       max(v.event_id) AS last_view_id
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 2 HOUR
+GROUP BY 1
+"""
+
+
+@_register("streaming_interval_join", _STREAM_JOIN_SQL)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join with a full SQL oracle:
+    purchases and views are two live streams joined per-user on an
+    event-time window (StreamingSymmetricHashJoin, both sides' state
+    watermark-pruned — streaming/joins.py). AvailableNow replay of the
+    snapshot emits exactly the batch inner join, so a DuckDB self-join
+    gates the streaming engine; the per-purchase rollup runs batch-side
+    over the drained sink (bounded: one row per matched purchase)."""
+    import os
+
+    from vbpl_web_crawl_spark.streaming.joins import (
+        stage_events_dir,
+        streaming_purchase_view_pairs,
+    )
+
+    src = stage_events_dir(sf_dir)
+    pairs = streaming_purchase_view_pairs(
+        spark, src, f"stream_join_gate_{os.getpid()}"
+    )
+    return pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("view_id").alias("first_view_id"),
+        F.max("view_id").alias("last_view_id"),
+    )
+
+
 @_register(
     "zorder_key_buckets",
     f"""

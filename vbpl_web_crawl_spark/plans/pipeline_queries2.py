@@ -87,7 +87,8 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.xxhash64(F.slice(toks, i * _SEG_W + 1, _SEG_W)),
             )
         ).alias("h"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the df agg AND the flag join:
+    # one tokenize+explode pass instead of two full document scans
     freq = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
     flagged = segs.join(freq, "h").withColumn("boiler", F.col("df") >= _BOILER_T)
     return flagged.groupBy("source").agg(

@@ -1,0 +1,116 @@
+"""Stream-stream interval join — the keyed streaming twin of the batch
+unkeyed interval join (plans/extra_queries.q_range_join_views).
+
+Two live streams derived from the same event feed (purchases and
+views) are joined per-user on an event-time interval: every view a
+user makes in the 2 hours AFTER one of their purchases. This is the
+canonical Structured Streaming stream-stream join shape (the Spark
+docs' ad-impressions x clicks example): both sides carry watermarks
+and the join condition carries the time bound, so the state store
+holds only the interval-wide tail of each side instead of the whole
+history — the property that makes the join runnable forever on an
+unbounded feed. Reference analog: the re-crawl loop continuously
+correlates newly fetched detail pages with the listing rows that
+discovered them (/root/reference/app/service/vbpl.py crawl loop);
+this operator is that correlation as a first-class streaming join.
+
+Physical plan: StreamingSymmetricHashJoin — both sides shuffle on the
+equi-key (user_id) and each side's state is pruned by the watermark +
+interval bound; the plan-shape pytest asserts the node is present so a
+regression to a stateless or broadcast plan cannot pass silently.
+
+Replayed over a static snapshot with Trigger.AvailableNow the join
+emits exactly the batch inner-join result (inner-join rows emit when
+both sides are in state; watermarks only bound state RETENTION), which
+is what makes the gate oracle a plain DuckDB self-join. The gate
+replays with a far watermark (the snapshot spans 30 days and file
+order is not time order, so a tight watermark would misclassify
+replayed history as late); a live deployment sets the delay to its
+real out-of-orderness bound, e.g. minutes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+WINDOW_HOURS = 2
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """The streaming file source wants a directory; symlink the
+    snapshot's events.parquet (file OR directory) into a fresh one."""
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_join_src_")
+    if os.path.isdir(src):
+        for i, name in enumerate(sorted(os.listdir(src))):
+            if name.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(os.path.abspath(src), name),
+                    os.path.join(d, f"part-{i}.parquet"),
+                )
+    else:
+        os.symlink(os.path.abspath(src), os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def purchase_view_join_stream(
+    spark: SparkSession,
+    src_dir: str,
+    watermark_delay: str = "35 days",
+) -> DataFrame:
+    """Build the unstarted streaming join (purchase x view per user
+    within WINDOW_HOURS). Returned frame is a streaming DataFrame of
+    (purchase_id, view_id, user_id) match rows, append-only."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark_delay)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark_delay)
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {WINDOW_HOURS} HOURS"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_id", "view_id", F.col("p_user").alias("user_id")
+    )
+
+
+def streaming_purchase_view_pairs(
+    spark: SparkSession, src_dir: str, query_name: str
+) -> DataFrame:
+    """Drain the stream-stream join to completion (AvailableNow) into a
+    memory sink and return the collected match table."""
+    out = purchase_view_join_stream(spark, src_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
