@@ -66,6 +66,8 @@ HEADLINE = [
     "cohort_retention_weekly",
     "rolling_hour_rate_histogram",
     "ab_experiment_lift",
+    "table_profile_stats",
+    "pmi_top_bigrams",
 ]
 
 

@@ -311,6 +311,23 @@ _BENCH_PLAN_EXPECT = {
         # 2-row arm stats checkpointed; single-row broadcast cross join
         "Scan parquet" not in p and n["BroadcastNestedLoopJoin"] <= 1
     ),
+    "table_profile_stats": lambda p, n: (
+        # ONE scan; the exact distincts appear as a single Expand; the
+        # wide->long pivot is a Generate, never a join or second pass
+        p.count("Scan parquet") <= 2  # tree + detail mention of ONE scan
+        and n["Expand"] == 1
+        and n["BroadcastHashJoin"] + n["SortMergeJoin"]
+        + n["ShuffledHashJoin"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "pmi_top_bigrams": lambda p, n: (
+        # corpus tokenized at most twice (pairs + the checkpointed
+        # unigram table); vocab-sized count tables broadcast; top-k
+        # never materializes the full sorted pair table
+        p.count("Scan parquet") <= 2
+        and "TakeOrderedAndProject" in p
+        and n["CartesianProduct"] == 0
+        and n["BroadcastHashJoin"] >= 2
+    ),
 }
 
 

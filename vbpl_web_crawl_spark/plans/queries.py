@@ -613,6 +613,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
+        profiling_queries,
     )
 
     return dict(QUERIES)
@@ -625,6 +626,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
+        profiling_queries,
     )
 
     out: dict[str, str] = {}
