@@ -202,10 +202,13 @@ _BENCH_PLAN_EXPECT = {
         and "mapInPandas" not in p
     ),
     "boilerplate_segment_stats": lambda p, n: (
-        # shuffle-free segment formation (array slice transform, no
-        # per-token explode->groupBy), then an 8-byte-key frequency
-        # agg and an equi-join to flag; never a nested loop
-        n["Generate"] >= 1
+        # the tokenized segment frame is checkpointed ONCE and shared by
+        # the df agg and the flag join (both sides show as ExistingRDD
+        # scans — one tokenize+explode pass, not two document scans);
+        # then an 8-byte-key frequency agg and an equi-join; never a
+        # nested loop
+        "ExistingRDD" in p
+        and "Scan parquet" not in p
         and n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
         and n["BroadcastNestedLoopJoin"] == 0
         and "mapInPandas" not in p

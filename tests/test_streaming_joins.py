@@ -90,3 +90,42 @@ def test_interval_bound_constrains_matches(spark, tmp_path):
     df.coalesce(1).write.parquet(src)
     got = streaming_purchase_view_pairs(spark, src, "sj_bound_test")
     assert sorted(r.view_id for r in got.collect()) == [2, 3]
+
+
+def test_left_outer_join_emits_unmatched_via_eviction(spark):
+    """LEFT-OUTER replay must equal the batch left join — including
+    null-padded purchases with no in-window view, which only emit when
+    the sentinel-advanced watermark evicts their state."""
+    from vbpl_web_crawl_spark.streaming.joins import (
+        stage_events_with_sentinels,
+        streaming_purchase_view_left_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = stage_events_with_sentinels(sf_dir)
+    got = streaming_purchase_view_left_pairs(spark, src, "sj_left_test")
+    g = got.toPandas()
+    assert (g["user_id"] >= 0).all()  # sentinels filtered
+    n_null = int(g["view_id"].isna().sum())
+    assert n_null > 0, "no unmatched purchase emitted -> eviction never ran"
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    cond = (
+        (p.pu == v.vu)
+        & (v.vts >= p.pts)
+        & (v.vts <= F.col("pts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    want = p.join(v, cond, "left").select("purchase_id", "view_id").toPandas()
+    gs = sorted(map(tuple, g[["purchase_id", "view_id"]].fillna(-9).values.tolist()))
+    ws = sorted(map(tuple, want.fillna(-9).values.tolist()))
+    assert gs == ws and len(gs) > 0

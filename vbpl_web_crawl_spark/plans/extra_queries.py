@@ -804,6 +804,52 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_LJOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       count(v.event_id) AS n_views,
+       min(v.event_id) AS first_view_id,
+       max(v.event_id) AS last_view_id
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 2 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@_register("streaming_outer_interval_join", _STREAM_LJOIN_SQL)
+def q_streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT-OUTER watermarked interval join: unlike the
+    inner gate (whose replay equality holds with no watermark movement),
+    the null-padded unmatched purchases only emit when the watermark
+    passes their interval bound and Spark EVICTS their state — so this
+    gate certifies the eviction machinery itself. The replay appends two
+    far-future sentinel files processed as their own micro-batches
+    (maxFilesPerTrigger=1) to advance the watermark past the data; the
+    DuckDB oracle is the plain batch LEFT JOIN (every purchase exactly
+    covered because all real rows land in batch 1). EVERY purchase
+    appears in the rollup: n_views = 0 rows are the eviction-emitted
+    ones."""
+    import os
+
+    from vbpl_web_crawl_spark.streaming.joins import (
+        stage_events_with_sentinels,
+        streaming_purchase_view_left_pairs,
+    )
+
+    src = stage_events_with_sentinels(sf_dir)
+    pairs = streaming_purchase_view_left_pairs(
+        spark, src, f"stream_ljoin_gate_{os.getpid()}"
+    )
+    return pairs.groupBy("purchase_id").agg(
+        F.count("view_id").alias("n_views"),
+        F.min("view_id").alias("first_view_id"),
+        F.max("view_id").alias("last_view_id"),
+    )
+
+
 @_register(
     "zorder_key_buckets",
     f"""

@@ -114,3 +114,132 @@ def streaming_purchase_view_pairs(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# LEFT-OUTER variant: purchases with NO view inside the window must
+# still emit (null-padded) — which only happens when the WATERMARK
+# passes the purchase's interval bound and Spark evicts its state.
+# Unlike the inner join (where replay equality needs no watermark
+# movement at all), this exercises the state-eviction machinery itself,
+# so the replay must advance the watermark past the data: the staging
+# helper appends two far-future sentinel files (a dummy-user purchase
+# AND view — the global watermark is the MIN across both sides) and
+# the drain processes ONE FILE PER MICRO-BATCH so the sentinel batches
+# run after the data batch. Two sentinel batches because eviction uses
+# the watermark computed at the END of the previous batch — the first
+# sentinel advances it, the second gives the evictor a batch to run in.
+# All real rows land in batch 1, so no real row is ever late and the
+# oracle is the plain batch LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+_SENTINEL_USER = -1
+
+
+def stage_events_with_sentinels(sf_dir: str) -> str:
+    """Stage the events snapshot for the outer-join replay: file 1 =
+    all real events; files 2 and 3 = one far-future purchase + view on
+    a dummy user each, with strictly increasing mtimes so the file
+    source replays them in order."""
+    import shutil
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_ljoin_src_")
+    import duckdb
+
+    con = duckdb.connect()
+    far = con.execute(
+        f"SELECT max(ts) + INTERVAL 400 DAY FROM '{src}/*.parquet'"
+        if os.path.isdir(src)
+        else f"SELECT max(ts) + INTERVAL 400 DAY FROM '{src}'"
+    ).fetchone()[0]
+    # file 1: the real snapshot (copied so mtime is ours)
+    if os.path.isdir(src):
+        parts = [n for n in sorted(os.listdir(src)) if n.endswith(".parquet")]
+        for i, name in enumerate(parts):
+            shutil.copy(os.path.join(src, name), os.path.join(d, f"a-{i}.parquet"))
+    else:
+        shutil.copy(src, os.path.join(d, "a-0.parquet"))
+    now = time.time()
+    for i, name in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, name), (now - 20, now - 20))
+    for j in (1, 2):
+        con.execute(
+            f"""
+            COPY (
+              SELECT CAST(-{j} AS BIGINT) AS event_id,
+                     CAST('{far}' AS TIMESTAMP) + INTERVAL {j} HOUR AS ts,
+                     CAST({_SENTINEL_USER} AS BIGINT) AS user_id,
+                     t.event_type,
+                     CAST(0.0 AS DOUBLE) AS value,
+                     CAST('' AS VARCHAR) AS props
+              FROM (VALUES ('purchase'), ('view')) t(event_type)
+            ) TO '{d}/z-sentinel-{j}.parquet' (FORMAT PARQUET)
+            """
+        )
+        os.utime(
+            os.path.join(d, f"z-sentinel-{j}.parquet"), (now - 10 + j, now - 10 + j)
+        )
+    return d
+
+
+def purchase_view_left_join_stream(
+    spark: SparkSession,
+    src_dir: str,
+    watermark_delay: str = "35 days",
+) -> DataFrame:
+    """The left-outer twin of :func:`purchase_view_join_stream`:
+    every purchase emits — matched rows as they meet, unmatched ones
+    null-padded once the watermark passes ``p_ts + window + delay``.
+
+    ``maxFilesPerTrigger=1`` (a SOURCE option) is what sequences the
+    sentinel files into their own micro-batches under AvailableNow."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark_delay)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark_delay)
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {WINDOW_HOURS} HOURS"))
+    )
+    return purchases.join(views, cond, "leftOuter").select(
+        "purchase_id", "view_id", F.col("p_user").alias("user_id")
+    )
+
+
+def streaming_purchase_view_left_pairs(
+    spark: SparkSession, src_dir: str, query_name: str
+) -> DataFrame:
+    """Drain the left-outer join (one file per micro-batch, AvailableNow)
+    and return the match table with the sentinel rows filtered out."""
+    out = purchase_view_left_join_stream(spark, src_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).filter(F.col("user_id") != _SENTINEL_USER)
