@@ -68,6 +68,7 @@ HEADLINE = [
     "ab_experiment_lift",
     "table_profile_stats",
     "pmi_top_bigrams",
+    "revisit_schedule_plan",
 ]
 
 

@@ -322,6 +322,16 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastHashJoin"] + n["SortMergeJoin"]
         + n["ShuffledHashJoin"] + n["BroadcastNestedLoopJoin"] == 0
     ),
+    "revisit_schedule_plan": lambda p, n: (
+        # the full-outer snapshot join runs ONCE at build into the
+        # checkpointed #sources-row table; the visible plan reads it
+        # twice (final select + budget total) with a single-row
+        # broadcast — no parquet rescan, no repeated doc_id join
+        "ExistingRDD" in p
+        and "Scan parquet" not in p
+        and n["SortMergeJoin"] + n["ShuffledHashJoin"] == 0
+        and n["BroadcastNestedLoopJoin"] <= 1
+    ),
     "pmi_top_bigrams": lambda p, n: (
         # corpus tokenized at most twice (pairs + the checkpointed
         # unigram table); vocab-sized count tables broadcast; top-k

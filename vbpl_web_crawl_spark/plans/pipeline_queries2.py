@@ -290,6 +290,122 @@ def q_recrawl_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Freshness-driven revisit scheduling — the budgeting step a continuous
+# crawler runs on top of the CDC delta (Cho & Garcia-Molina's
+# change-rate-proportional recrawl policy, as deployed by every
+# production crawler's scheduler): sources whose documents changed more
+# between snapshots earn a larger share of the fixed daily fetch
+# budget, which translates into a shorter per-document revisit
+# interval. Reference analog: the reference decides what to refetch by
+# diffing its stored rows on recrawl (/root/reference/app/service/
+# vbpl.py upsert path); this operator turns that diff into an explicit
+# per-source schedule.
+#
+# All arithmetic is 64-bit integer (scaled milli-hours) so Spark and
+# DuckDB agree bit-for-bit. Scale: the only large shuffle is the
+# doc_id-keyed snapshot join (8-byte key + 32-hex fp, bodies never
+# move); everything after is a per-source aggregate (cardinality =
+# #sources) plus one broadcast single-row total.
+# ---------------------------------------------------------------------------
+
+_REVISIT_BUDGET = 1000  # fetches/day the scheduler may spend
+_REVISIT_CAP_MILLI_H = 720_000  # 30-day ceiling for cold sources
+
+
+@_register(
+    "revisit_schedule_plan",
+    f"""
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE {_CDC_OLD}
+),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN {_CDC_REV} THEN text || ' rev2' ELSE text END) AS fp
+  FROM documents WHERE {_CDC_NEW}
+),
+delta AS (
+  SELECT coalesce(o.source, n.source) AS source,
+         CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS live,
+         CASE WHEN o.doc_id IS NULL OR (n.doc_id IS NOT NULL AND o.fp <> n.fp)
+              THEN 1 ELSE 0 END AS hot
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+),
+per_src AS (
+  SELECT source, CAST(sum(live) AS BIGINT) AS n_live,
+         CAST(sum(hot) AS BIGINT) AS n_hot
+  FROM delta GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_hot) AS BIGINT) AS w FROM per_src)
+SELECT p.source, p.n_live, p.n_hot,
+       CAST({_REVISIT_BUDGET} * p.n_hot // t.w AS BIGINT) AS alloc_per_day,
+       CAST(CASE WHEN {_REVISIT_BUDGET} * p.n_hot // t.w = 0
+                 THEN {_REVISIT_CAP_MILLI_H}
+                 ELSE least({_REVISIT_CAP_MILLI_H},
+                            p.n_live * 24000 // ({_REVISIT_BUDGET} * p.n_hot // t.w))
+            END AS BIGINT) AS revisit_milli_h
+FROM per_src p CROSS JOIN tot t
+""",
+)
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source recrawl schedule from the snapshot diff: ``n_hot``
+    (changed + added docs) earns a proportional slice of the fixed
+    daily budget; ``revisit_milli_h`` is the resulting per-document
+    revisit interval (capped for cold sources), integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.expr(_CDC_OLD)).select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_src"),
+        F.md5("text").alias("o_fp"),
+    )
+    new = docs.filter(F.expr(_CDC_NEW)).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_src"),
+        F.md5(
+            F.when(F.expr(_CDC_REV), F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("n_fp"),
+    )
+    delta = old.join(new, old.o_id == new.n_id, "full_outer").select(
+        F.coalesce("o_src", "n_src").alias("source"),
+        F.when(F.col("n_id").isNotNull(), 1).otherwise(0).alias("live"),
+        F.when(
+            F.col("o_id").isNull()
+            | (F.col("n_id").isNotNull() & (F.col("o_fp") != F.col("n_fp"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("hot"),
+    )
+    # materialize the #sources-row table once: it feeds both the final
+    # select and the budget total, which would otherwise run the
+    # doc_id-keyed snapshot join twice
+    per_src = (
+        delta.groupBy("source")
+        .agg(F.sum("live").alias("n_live"), F.sum("hot").alias("n_hot"))
+        .localCheckpoint(eager=True)
+    )
+    tot = per_src.agg(F.sum("n_hot").alias("w"))
+    alloc = F.expr(f"({_REVISIT_BUDGET}L * n_hot) div w")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_live",
+        "n_hot",
+        alloc.alias("alloc_per_day"),
+        F.when(alloc == 0, F.lit(_REVISIT_CAP_MILLI_H).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(_REVISIT_CAP_MILLI_H).cast("long"),
+                F.expr(
+                    f"(n_live * 24000L) div (({_REVISIT_BUDGET}L * n_hot) div w)"
+                ),
+            )
+        )
+        .alias("revisit_milli_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Image dedup END-TO-END: phash Hamming pairs -> connected components
 # -> keep one representative per visual cluster — the image twin of
 # dedup_corpus_keep_one, chaining the banded-phash blocking into the
