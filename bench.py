@@ -69,6 +69,7 @@ HEADLINE = [
     "table_profile_stats",
     "pmi_top_bigrams",
     "revisit_schedule_plan",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -332,6 +332,14 @@ _BENCH_PLAN_EXPECT = {
         and n["SortMergeJoin"] + n["ShuffledHashJoin"] == 0
         and n["BroadcastNestedLoopJoin"] <= 1
     ),
+    "incremental_agg_maintenance": lambda p, n: (
+        # documents scanned ONCE (new side); the old projection is the
+        # checkpointed snapshot feeding base + CDC join; merges are
+        # #sources-row joins, never a second corpus pass
+        "ExistingRDD" in p
+        and p.count("Scan parquet") <= 2  # tree + detail of ONE scan
+        and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
+    ),
     "pmi_top_bigrams": lambda p, n: (
         # corpus tokenized at most twice (pairs + the checkpointed
         # unigram table); vocab-sized count tables broadcast; top-k

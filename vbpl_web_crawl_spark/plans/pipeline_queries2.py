@@ -406,6 +406,102 @@ def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the pattern that keeps corpus
+# rollups fresh at 100 TB without rescanning the corpus: the
+# maintained state is base-aggregate(old snapshot) MERGED with a
+# delta-aggregate computed from the CDC feed alone (added rows
+# contribute +new, deleted rows -old, changed rows new-old). The gate
+# certifies the maintenance algebra itself: its DuckDB oracle is the
+# FULL RECOMPUTE over the new snapshot, so any drift between
+# "base + delta" and the true aggregate is a hash mismatch.
+# Aggregates are the per-source doc count and total characters — both
+# commutative-group measures (the class incremental maintenance
+# covers; min/max would need the delete-compensation table).
+# Scale: base agg scans the old snapshot once (in production it is the
+# stored rollup, zero scans); the delta agg touches ONLY the CDC rows;
+# the merge joins two #sources-row tables.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_agg_maintenance",
+    f"""
+WITH new AS (
+  SELECT doc_id, source,
+         CASE WHEN {_CDC_REV} THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE {_CDC_NEW}
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM new GROUP BY source
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-source rollup = agg(old snapshot) merged with the
+    CDC delta's contributions — never recomputed from the new snapshot;
+    the oracle IS the full recompute, making the equality the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the narrow (id, source, len) old projection feeds base AND the
+    # CDC join — checkpoint it once instead of scanning documents twice
+    # (in production it is the stored snapshot table, zero scans)
+    old = (
+        docs.filter(F.expr(_CDC_OLD))
+        .select(
+            F.col("doc_id").alias("o_id"),
+            F.col("source").alias("o_src"),
+            F.length("text").alias("o_len"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new = docs.filter(F.expr(_CDC_NEW)).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_src"),
+        F.length(
+            F.when(F.expr(_CDC_REV), F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("n_len"),
+    )
+    base = old.groupBy(F.col("o_src").alias("source")).agg(
+        F.count(F.lit(1)).alias("b_docs"), F.sum("o_len").alias("b_chars")
+    )
+    # the CDC feed: one row per added/deleted/changed doc with signed
+    # contributions (unchanged rows contribute nothing and in
+    # production never reach this aggregate)
+    cdc = (
+        old.join(new, old.o_id == new.n_id, "full_outer")
+        .filter(
+            F.col("o_id").isNull()
+            | F.col("n_id").isNull()
+            | (F.col("o_len") != F.col("n_len"))
+        )
+        .select(
+            F.coalesce("o_src", "n_src").alias("source"),
+            (
+                F.when(F.col("n_id").isNotNull(), 1).otherwise(0)
+                - F.when(F.col("o_id").isNotNull(), 1).otherwise(0)
+            ).alias("d_docs"),
+            (
+                F.coalesce("n_len", F.lit(0)) - F.coalesce("o_len", F.lit(0))
+            ).alias("d_chars"),
+        )
+    )
+    delta = cdc.groupBy("source").agg(
+        F.sum("d_docs").alias("d_docs"), F.sum("d_chars").alias("d_chars")
+    )
+    merged = base.join(delta, "source", "full_outer").select(
+        "source",
+        (F.coalesce("b_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0))).alias(
+            "n_docs"
+        ),
+        (F.coalesce("b_chars", F.lit(0)) + F.coalesce("d_chars", F.lit(0))).alias(
+            "n_chars"
+        ),
+    )
+    return merged.filter(F.col("n_docs") > 0)
+
+
+# ---------------------------------------------------------------------------
 # Image dedup END-TO-END: phash Hamming pairs -> connected components
 # -> keep one representative per visual cluster — the image twin of
 # dedup_corpus_keep_one, chaining the banded-phash blocking into the
