@@ -129,3 +129,53 @@ def test_left_outer_join_emits_unmatched_via_eviction(spark):
     gs = sorted(map(tuple, g[["purchase_id", "view_id"]].fillna(-9).values.tolist()))
     ws = sorted(map(tuple, want.fillna(-9).values.tolist()))
     assert gs == ws and len(gs) > 0
+
+
+def test_stream_static_enrich_equals_batch_and_is_stateless(spark):
+    """Stream-static enrichment must equal the batch join exactly and
+    must run with NO stateful operator (no state store involved)."""
+    from vbpl_web_crawl_spark.sources.tables import load_table
+    from vbpl_web_crawl_spark.streaming.joins import (
+        stage_events_dir,
+        streaming_enriched_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = stage_events_dir(sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    got = streaming_enriched_events(spark, src, customer, "sj_enrich_test")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = ev.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "value", "segment"
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_stream_static_enrich_no_state_operator(spark):
+    """The finished query's progress must report zero state operators —
+    a stateful plan here would mean the dim join grew a state store."""
+    from vbpl_web_crawl_spark.sources.tables import load_table
+    from vbpl_web_crawl_spark.streaming.joins import (
+        enriched_event_stream,
+        stage_events_dir,
+    )
+
+    src = stage_events_dir("/root/testdata/sf0.001")
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    stream = enriched_event_stream(spark, src, customer)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sj_enrich_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = (q.lastProgress or {}).get("stateOperators", [])
+    assert ops == [] or all(not op for op in ops), f"unexpected state: {ops}"

@@ -804,6 +804,50 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(e.event_id) AS first_event_id,
+       max(e.event_id) AS last_event_id
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@_register("streaming_enrich_dimension_join", _STREAM_ENRICH_SQL)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join (the third Structured Streaming
+    join class after the inner and left-outer stream-stream gates): a
+    live event stream joined to the static customer dimension with NO
+    state store — each micro-batch broadcasts the dim and plans a plain
+    batch join, so the stream side never shuffles. The AvailableNow
+    replay equals the batch join exactly, giving a full SQL oracle; the
+    rollup (value summed in exact integer cents) runs batch-side over
+    the drained sink."""
+    import os
+
+    from vbpl_web_crawl_spark.sources.tables import load_table
+    from vbpl_web_crawl_spark.streaming.joins import (
+        stage_events_dir,
+        streaming_enriched_events,
+    )
+
+    src = stage_events_dir(sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = streaming_enriched_events(
+        spark, src, customer, f"stream_enrich_gate_{os.getpid()}"
+    )
+    return enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
 _STREAM_LJOIN_SQL = """
 SELECT p.event_id AS purchase_id,
        count(v.event_id) AS n_views,

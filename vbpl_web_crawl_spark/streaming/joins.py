@@ -243,3 +243,52 @@ def streaming_purchase_view_left_pairs(
     )
     q.awaitTermination()
     return spark.table(query_name).filter(F.col("user_id") != _SENTINEL_USER)
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STATIC enrichment join — the third Structured Streaming join
+# class (after inner and left-outer stream-stream): a live event
+# stream joined against a STATIC dimension table. No state store is
+# involved at all — each micro-batch plans a fresh batch join, and
+# Spark broadcasts the dimension side exactly as it would in batch —
+# so the property the gate certifies is that enrichment of an
+# unbounded stream is stateless and replay-exact. This is the
+# streaming twin of the reference's per-item lookup enrichment
+# (/root/reference/app/service/vbpl.py detail-page enrich) and the
+# shape every 100 TB event pipeline uses to attach dimensions without
+# shuffling the stream.
+# ---------------------------------------------------------------------------
+
+
+def enriched_event_stream(
+    spark: SparkSession, src_dir: str, customer: DataFrame
+) -> DataFrame:
+    """Stream events joined to the static customer dim on
+    user_id == c_custkey (broadcast — the stream side never shuffles)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return events.join(dim, "user_id", "inner").select(
+        "event_id", "user_id", "event_type", "value", "segment"
+    )
+
+
+def streaming_enriched_events(
+    spark: SparkSession, src_dir: str, customer: DataFrame, query_name: str
+) -> DataFrame:
+    """Drain the stream-static enrichment to completion (AvailableNow)
+    and return the enriched event table."""
+    out = enriched_event_stream(spark, src_dir, customer)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
