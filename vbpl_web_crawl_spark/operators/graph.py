@@ -188,3 +188,164 @@ def pagerank(
     ej.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list: (node, depth) with
+    depth = min #hops from the seed set, capped at ``max_depth``
+    (unreached nodes are absent — exactly the crawl-frontier notion of
+    "never discovered within the depth budget").
+
+    This IS the crawl's frontier-expansion layering made queryable:
+    the reference crawler walks seed index pages -> listing pages ->
+    detail pages breadth-first (/root/reference/app/service/vbpl.py
+    crawl loop), and the engine's priority queue orders by (depth,
+    doc-type, discovery-time) — depth here is that first coordinate
+    computed over an arbitrary link graph.
+
+    Scale design: one DataFrame round per layer (d <= max_depth
+    rounds, driver-coordinated like connected_components above). The
+    edge table is hash-partitioned by src once and persisted so every
+    round's expansion join reuses the layout; the frontier/visited
+    tables are O(nodes) and localCheckpoint'ed per round to keep the
+    plan flat. The visited-set anti-join is the Bloom-filter seen-set
+    admission (operators/seen.py) in exact form — at 10^10 nodes the
+    sketch replaces the anti-join; here exactness gives the oracle.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("depth") == d).select("node")
+        if frontier.isEmpty():
+            break
+    e.unpersist()
+    return visited
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    mass: int = 1_000_000,
+    total_mass: int = 100_000_000,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) over a
+    directed edge list: (node, hub, auth) after ``n_iter`` mutual
+    power iterations.
+
+    Every step is 64-bit integer arithmetic with truncating DIV, so
+    the result is bit-identical at any partitioning and replayable by
+    an unrolled SQL oracle (same parity design as ``pagerank`` above;
+    the classical L2 normalization needs sqrt, so normalization here
+    rescales each vector to a constant ``total_mass`` by
+    v * total_mass DIV sum(v) — scale-free like L2,
+    transcendental-free). Overflow is guarded LOUDLY per rescale:
+    every element v <= sum(v), so v * total_mass <= sum * total_mass,
+    and the rescale raises if that product can exceed int64 (Spark's
+    non-ANSI default would otherwise wrap silently). The bound means
+    total_mass^2 * max_degree must stay under 2^63 — the 1e8 default
+    leaves headroom for degree ~900; raise mass resolution only with
+    a degree bound in hand.
+
+    Per iteration: auth'(p) = Σ_{q->p} hub(q), then rescale; hub'(q) =
+    Σ_{q->p} auth'(p), then rescale. Hubs are pages whose out-links
+    concentrate on strong authorities — the crawl-frontier prioritizer
+    complement to PageRank (fetch strong hubs early to discover
+    authorities fast).
+
+    Scale design: the edge list is partitioned by the join side used
+    in each half-step and persisted once per orientation; score tables
+    are O(nodes); the two rescale denominators per iteration are
+    single bounded scalar aggregates (an allowed driver collect);
+    node count never enters the arithmetic, so the bounds hold at
+    10^10 nodes unchanged.
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .repartition(par, "u")
+        .persist()
+    )
+    ev = e.repartition(par, "v").persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    total = total_mass
+    hub = nodes.select("node", F.lit(mass).cast("long").alias("s"))
+    auth = None
+    for _ in range(n_iter):
+        # auth half-step: sum hub mass over in-edges, then rescale
+        raw_a = (
+            e.join(hub, e.u == hub.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+        auth = _rescale(nodes, raw_a, total).localCheckpoint(eager=True)
+        # hub half-step from the fresh auth vector
+        raw_h = (
+            ev.join(auth, ev.v == auth.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+        hub = _rescale(nodes, raw_h, total).localCheckpoint(eager=True)
+    ev.unpersist()
+    out = (
+        nodes.join(hub.withColumnRenamed("s", "hub"), "node", "left")
+        .join(auth.withColumnRenamed("s", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+            F.coalesce("auth", F.lit(0)).alias("auth"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _rescale(nodes: DataFrame, raw: DataFrame, total: int) -> DataFrame:
+    """Rescale a sparse (node, s) score vector to sum ~= total using
+    integer-exact v * total DIV sum(v); nodes absent from ``raw``
+    (no in/out edges for this half-step) score 0. Raises before the
+    multiply can exceed int64 (v <= denom, so denom*total bounds it)."""
+    denom = raw.agg(F.sum("s")).first()[0] or 1
+    if denom * total >= 1 << 63:
+        raise RuntimeError(
+            f"hits rescale would overflow int64: sum={denom} total={total} — "
+            "lower total_mass or bound the graph degree"
+        )
+    return nodes.join(raw, "node", "left").select(
+        "node",
+        F.expr(f"coalesce(s, 0) * {total} DIV {denom}").cast("long").alias("s"),
+    )

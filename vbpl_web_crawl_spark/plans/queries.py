@@ -613,6 +613,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
+        pipeline_queries4,
         profiling_queries,
     )
 
@@ -626,6 +627,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
+        pipeline_queries4,
         profiling_queries,
     )
 
