@@ -70,6 +70,10 @@ HEADLINE = [
     "pmi_top_bigrams",
     "revisit_schedule_plan",
     "incremental_agg_maintenance",
+    "anchor_text_topk",
+    "zonemap_skip_stats",
+    "weighted_sample_docs",
+    "tpch_q3_shipping_priority",
 ]
 
 

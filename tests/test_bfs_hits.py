@@ -97,7 +97,7 @@ def test_hits_matches_python_replay(spark):
     edges = [(1, 20), (2, 20), (3, 20), (1, 21), (2, 22), (4, 23), (4, 20)]
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: (r.hub, r.auth) for r in hits(df, n_iter=3).collect()}
-    hub, auth = _py_hits(edges, 3, 1_000_000, 100_000_000)
+    hub, auth = _py_hits(edges, 3, 1, 100_000_000)
     assert got == {n: (hub[n], auth[n]) for n in hub}
     # the most-linked node is the top authority; pure sources have auth 0
     assert got[20][1] == max(a for _, a in got.values())
@@ -113,6 +113,19 @@ def test_hits_partitioning_invariant(spark):
         df = spark.createDataFrame(edges, "src long, dst long").repartition(nparts)
         r.append({x.node: (x.hub, x.auth) for x in hits(df, n_iter=3).collect()})
     assert r[0] == r[1]
+
+
+def test_hits_initial_mass_cancels(spark):
+    """floor(m*v*t/(m*S)) == floor(v*t/S): the initial mass is a pure
+    common factor, so mass=1 (the overflow-safe default) and any larger
+    mass produce bit-identical scores."""
+    from vbpl_web_crawl_spark.operators.graph import hits
+
+    edges = [(i % 9, 10 + (i * 5) % 7) for i in range(60)] + [(3, 14), (8, 15)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = {x.node: (x.hub, x.auth) for x in hits(df, n_iter=2, mass=1).collect()}
+    rm = {x.node: (x.hub, x.auth) for x in hits(df, n_iter=2, mass=1_000_000).collect()}
+    assert r1 == rm
 
 
 def test_hits_overflow_guard_raises(spark):

@@ -340,6 +340,33 @@ _BENCH_PLAN_EXPECT = {
         and p.count("Scan parquet") <= 2  # tree + detail of ONE scan
         and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
     ),
+    "anchor_text_topk": lambda p, n: (
+        # link volume flows through ONE map-side-combining (target,
+        # anchor) agg; the window + in-link total run over the bounded
+        # aggregated table, never the raw links
+        n["HashAggregate"] >= 4
+        and n["Window"] == 1
+        and n["CartesianProduct"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "zonemap_skip_stats": lambda p, n: (
+        # pure two-level aggregation per layout — no join anywhere;
+        # lineitem scanned once per layout, 2 columns only
+        n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+        and p.count("ReadSchema") <= 2
+        and "l_comment" not in p
+    ),
+    "weighted_sample_docs": lambda p, n: (
+        # global top-k by priority = TakeOrderedAndProject, never a
+        # full sort; priority computed at scan projection
+        "TakeOrderedAndProject" in p and n["Exchange"] == 0
+    ),
+    "tpch_q3_shipping_priority": lambda p, n: (
+        # BUILDING customers broadcast; date predicates pushed to the
+        # scans; global top-10 = TakeOrderedAndProject
+        n["BroadcastHashJoin"] >= 1
+        and "TakeOrderedAndProject" in p
+        and "PushedFilters: [IsNotNull(o_orderdate)" in p
+    ),
     "pmi_top_bigrams": lambda p, n: (
         # corpus tokenized at most twice (pairs + the checkpointed
         # unigram table); vocab-sized count tables broadcast; top-k

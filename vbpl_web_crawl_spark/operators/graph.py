@@ -252,7 +252,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
-    mass: int = 1_000_000,
+    mass: int = 1,
     total_mass: int = 100_000_000,
 ) -> DataFrame:
     """Integer-exact HITS (Kleinberg hubs & authorities) over a
@@ -268,10 +268,12 @@ def hits(
     transcendental-free). Overflow is guarded LOUDLY per rescale:
     every element v <= sum(v), so v * total_mass <= sum * total_mass,
     and the rescale raises if that product can exceed int64 (Spark's
-    non-ANSI default would otherwise wrap silently). The bound means
-    total_mass^2 * max_degree must stay under 2^63 — the 1e8 default
-    leaves headroom for degree ~900; raise mass resolution only with
-    a degree bound in hand.
+    non-ANSI default would otherwise wrap silently). ``mass`` cancels
+    exactly in the truncating rescale (floor(m*v*t / (m*S)) =
+    floor(v*t/S)), so the default is 1: the first-iteration bound is
+    then n_edges * total_mass < 2^63 (~9e10 edges at the 1e8 default)
+    and every later one is max_degree * total_mass^2 < 2^63 (degree
+    ~900 headroom) — raise mass only with both bounds in hand.
 
     Per iteration: auth'(p) = Σ_{q->p} hub(q), then rescale; hub'(q) =
     Σ_{q->p} auth'(p), then rescale. Hubs are pages whose out-links
@@ -305,20 +307,26 @@ def hits(
     hub = nodes.select("node", F.lit(mass).cast("long").alias("s"))
     auth = None
     for _ in range(n_iter):
-        # auth half-step: sum hub mass over in-edges, then rescale
+        # auth half-step: sum hub mass over in-edges, then rescale.
+        # Checkpoint the RAW sums eagerly BEFORE the denominator
+        # collect — otherwise the scalar agg and the rescale join each
+        # re-evaluate the heavy edge-join lineage (measured 2x wall on
+        # the purchase graph).
         raw_a = (
             e.join(hub, e.u == hub.node)
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
         )
-        auth = _rescale(nodes, raw_a, total).localCheckpoint(eager=True)
+        auth = _rescale(nodes, raw_a, total)
         # hub half-step from the fresh auth vector
         raw_h = (
             ev.join(auth, ev.v == auth.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
         )
-        hub = _rescale(nodes, raw_h, total).localCheckpoint(eager=True)
+        hub = _rescale(nodes, raw_h, total)
     ev.unpersist()
     out = (
         nodes.join(hub.withColumnRenamed("s", "hub"), "node", "left")
@@ -332,6 +340,72 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation over a directed edge
+    list: (node, label) after ``n_iter`` rounds of label(v) := the most
+    frequent label among in-neighbors {u : u->v}, ties broken toward
+    the SMALLEST label (pass a symmetrized edge list for undirected
+    communities). label_0(v) = v.
+
+    Unlike classical async LPA (random visit order, random
+    tie-breaks), every step here is a pure function of the previous
+    labeling — bit-identical at any partitioning and replayable by an
+    unrolled SQL oracle, the same parity design as ``pagerank`` and
+    ``hits``. Communities are the crawl's host-affinity shards: pages
+    that densely interlink land on one label, which is the partition
+    key a 1000-executor fetch fleet co-locates per-host state by.
+
+    Scale design: per round, one (v, label) count aggregation (map-side
+    combining, 16-byte keys) and one per-node argmax via max_by over a
+    packed (count, -label)-ordered struct — no window, no sort; labels
+    are O(nodes) and localCheckpoint'ed per round to keep the plan
+    flat. Nodes with no in-edges keep their previous label.
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .repartition(par, "u")
+        .persist()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels, e.u == labels.node)
+            .groupBy(F.col("v").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count DESC, label ASC): max_by over a struct whose
+        # ordering is (c, -label) — single aggregation, no window sort
+        best = votes.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                "new_label"
+            )
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels
 
 
 def _rescale(nodes: DataFrame, raw: DataFrame, total: int) -> DataFrame:

@@ -123,7 +123,8 @@ def q_crawl_depth_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HITS_ITER = 3
-_HITS_MASS = 1_000_000
+_HITS_MASS = 1  # cancels exactly in the truncating rescale; keeps the
+# first-iteration overflow bound at n_edges * total (not n_edges * mass * total)
 _HITS_TOTAL = 100_000_000
 
 
@@ -399,6 +400,205 @@ def q_zonemap_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k is a TakeOrderedAndProject (no global sort), and the priority
 # is computable at scan time.
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous label propagation (operators/graph.py):
+# label(v) := most frequent in-neighbor label, ties to the smallest
+# label, fixed rounds — communities over the symmetrized part<->
+# supplier graph are the crawl's host-affinity shards. The oracle
+# unrolls the rounds as CTEs (vote count -> row_number argmax -> carry
+# forward for vote-less nodes); output is the per-community membership
+# summary so the gate certifies the full final labeling.
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem
+  UNION
+  SELECT DISTINCT 2 * l_suppkey + 1 AS u, 2 * l_partkey AS v FROM lineitem
+)""",
+        "n AS (SELECT u AS node FROM e UNION SELECT v FROM e)",
+        "l0 AS (SELECT node, node AS label FROM n)",
+    ]
+    for i in range(1, _LPA_ITER + 1):
+        ctes.append(
+            f"""v{i} AS (
+  SELECT e.v AS node, l.label, count(*) AS c
+  FROM e JOIN l{i - 1} l ON e.u = l.node GROUP BY e.v, l.label
+)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}) t WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+  SELECT p.node, COALESCE(b.label, p.label) AS label
+  FROM l{i - 1} p LEFT JOIN b{i} b ON p.node = b.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT label AS community,
+       count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS sum_node,
+       min(node) AS min_node,
+       max(node) AS max_node
+FROM l{_LPA_ITER}
+GROUP BY label
+ORDER BY community
+"""
+    )
+
+
+@_register("label_propagation_communities", _lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community membership summary after 3 deterministic LPA rounds
+    over the symmetrized part<->supplier purchase graph
+    (operators/graph.py:label_propagation)."""
+    from vbpl_web_crawl_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    fwd = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("node").cast("long").alias("sum_node"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in streaming dedup: dropDuplicatesWithinWatermark over the
+# event feed with byte-identical planted duplicates (every event_id %
+# 7 == 0 row appears twice in the staged replay). Whichever copy wins
+# the first-seen race the emitted rows are identical, so the drained
+# sink must aggregate exactly like the ORIGINAL snapshot — a full SQL
+# oracle over a genuinely streaming stateful operator. The custom
+# applyInPandasWithState dedup gate (streaming_first_seen_dedup) keeps
+# certifying arrival-order semantics; this one certifies the
+# engine-native bounded-state operator the 10^10-URL deployment uses.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "streaming_dropdup_watermark",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_streaming_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type aggregate of the dropDuplicatesWithinWatermark drain
+    over a replay with planted identical duplicates — equals the plain
+    batch aggregate over the original snapshot iff every duplicate was
+    suppressed and every original kept (streaming/dropdup.py)."""
+    import os
+
+    from vbpl_web_crawl_spark.streaming.dropdup import (
+        stage_events_with_planted_dups,
+        streaming_dropdup,
+    )
+
+    src = stage_events_with_planted_dups(spark, sf_dir)
+    deduped = streaming_dropdup(spark, src, f"dropdup_gate_{os.getpid()}")
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority): the classic 3-way join + top-10 by
+# computed revenue — breadth marker for the ad-hoc analytics surface
+# next to the Q1-shape (agg_pricing_summary) and Q5-shape
+# (sql_api_revenue_by_nation) gates. Plan shape worth pinning at
+# 100 TB: customer filter broadcast into orders, revenue agg partial,
+# global top-10 as TakeOrderedAndProject (never a full sort).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue (o_orderpriority stands in for the classic o_shippriority,
+    which the synthetic orders table does not carry)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
 
 _WS_K = 50
 
