@@ -115,6 +115,51 @@ def test_hits_partitioning_invariant(spark):
     assert r[0] == r[1]
 
 
+def _py_ppr(edges, seeds, n_iter, total, damp):
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    nodes = sorted(outdeg)
+    tele = (100 - damp) * total // (100 * len(seeds))
+    base = {n: (tele if n in seeds else 0) for n in nodes}
+    rank = dict(base)
+    for _ in range(n_iter):
+        s = {}
+        for u, v in edges:
+            s[v] = s.get(v, 0) + rank[u] // outdeg[u]
+        rank = {n: base[n] + (damp * s.get(n, 0)) // 100 for n in nodes}
+    return rank
+
+
+def test_ppr_matches_python_replay_and_is_invariant(spark):
+    from vbpl_web_crawl_spark.operators.graph import personalized_pagerank
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (1, 2)]  # parallel edge kept
+    edges = und + [(b, a) for a, b in und]
+    want = _py_ppr(edges, {1}, 3, 1_000_000_000, 85)
+    for nparts in (1, 5):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(nparts)
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {
+            r.node: r.rank
+            for r in personalized_pagerank(df, seeds, n_iter=3).collect()
+        }
+        assert got == want, f"nparts={nparts}"
+    # mass is seed-centred: the seed outranks the far end of the chain
+    assert want[1] > want[5]
+
+
+def test_ppr_empty_seed_set_raises(spark):
+    import pytest as _pytest
+
+    from vbpl_web_crawl_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(df, seeds)
+
+
 def test_hits_initial_mass_cancels(spark):
     """floor(m*v*t/(m*S)) == floor(v*t/S): the initial mass is a pure
     common factor, so mass=1 (the overflow-safe default) and any larger

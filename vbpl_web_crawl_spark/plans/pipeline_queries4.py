@@ -402,6 +402,101 @@ def q_zonemap_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from the same 3
+# seed suppliers as the BFS gate — focused-crawl frontier scoring:
+# rank = walk-distance-weighted reachability from the seed set,
+# integer-exact (operators/graph.py:personalized_pagerank). Oracle
+# unrolls the iterations; teleport mass goes only to seeds. Top-20
+# nodes are the gate rows.
+# ---------------------------------------------------------------------------
+
+_PPR_ITER = 4
+_PPR_TOTAL = 1_000_000_000
+_PPR_DAMP = 85
+
+
+def _ppr_oracle() -> str:
+    tele = (100 - _PPR_DAMP) * _PPR_TOTAL // (100 * len(_BFS_SEEDS))
+    ctes = [
+        """edges AS (
+  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM lineitem
+)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT DISTINCT src AS node FROM edges)",
+        f"""s AS (SELECT node FROM (VALUES {', '.join(f'({x})' for x in _BFS_SEEDS)}) t(node))""",
+        f"""b AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN CAST({tele} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS t
+  FROM n LEFT JOIN s ON n.node = s.node
+)""",
+        "r0 AS (SELECT node, t AS rank FROM b)",
+    ]
+    for i in range(1, _PPR_ITER + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT b.node,
+         CAST(b.t + ({_PPR_DAMP} * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank
+  FROM b LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) m ON b.node = m.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS node_id,
+       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       rank
+FROM r{_PPR_ITER}
+ORDER BY rank DESC, node_id ASC
+LIMIT 20
+"""
+    )
+
+
+@_register("personalized_pagerank_topk", _ppr_oracle())
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by integer-exact personalized PageRank from 3 seed
+    suppliers over the undirected part<->supplier multigraph — the
+    focused-crawl priority score (operators/graph.py:
+    personalized_pagerank; multigraph semantics match the oracle's
+    UNION ALL)."""
+    from vbpl_web_crawl_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    fwd = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(s,) for s in _BFS_SEEDS], "node long")
+    ranks = personalized_pagerank(
+        edges, seeds, n_iter=_PPR_ITER, total=_PPR_TOTAL, damp_pct=_PPR_DAMP
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, "part")
+            .otherwise("supplier")
+            .alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic synchronous label propagation (operators/graph.py):
 # label(v) := most frequent in-neighbor label, ties to the smallest
 # label, fixed rounds — communities over the symmetrized part<->
