@@ -74,6 +74,12 @@ HEADLINE = [
     "zonemap_skip_stats",
     "weighted_sample_docs",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "image_aspect_batch_packing",
+    "bowtie_reachability",
+    "interval_merge_busy_windows",
+    "twohop_frontier_reach",
+    "host_skew_gini",
 ]
 
 

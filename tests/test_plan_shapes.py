@@ -376,6 +376,54 @@ _BENCH_PLAN_EXPECT = {
         and n["CartesianProduct"] == 0
         and n["BroadcastHashJoin"] >= 2
     ),
+    "tpch_q5_local_supplier_volume": lambda p, n: (
+        # region->nation spine and supplier broadcast; the two fact
+        # tables shuffle on their join keys once; date predicate
+        # pushed to the orders scan
+        n["BroadcastHashJoin"] >= 2
+        and n["BroadcastNestedLoopJoin"] == 0
+        and "PushedFilters: [IsNotNull(o_orderdate)" in p
+    ),
+    "image_aspect_batch_packing": lambda p, n: (
+        # one documents scan pruned to doc_id; one bucket-keyed window
+        # does the packing; no join anywhere
+        p.count("Scan parquet") <= 2  # tree + detail of ONE scan
+        and "ReadSchema: struct<doc_id:bigint>" in p
+        and n["Window"] == 1
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "interval_merge_busy_windows": lambda p, n: (
+        # both island windows share ONE user_id partitioning; the
+        # island agg reuses it (partitioning on a subset of the
+        # grouping keys); only the tiny bucket rollup re-shuffles
+        n["Window"] == 2
+        and _shuffles(n) <= 3
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "twohop_frontier_reach": lambda p, n: (
+        # the distinct edge table is checkpointed once and feeds the
+        # self-join (both sides) + the anti-join; lineitem is never
+        # re-scanned from parquet in the final plan
+        "ExistingRDD" in p
+        and "Scan parquet" not in p
+        and n["CartesianProduct"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "host_skew_gini": lambda p, n: (
+        # documents scanned once, pruned to (lang, source) — the body
+        # column never leaves the scan; one rank window over the tiny
+        # per-host count table; no join anywhere
+        "text" not in p.split("ReadSchema")[-1]
+        and n["Window"] == 1
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "bowtie_reachability": lambda p, n: (
+        # BFS layers are checkpointed RDDs; the classification joins
+        # against the two (tiny) visited sets broadcast — the raw edge
+        # table is never re-scanned from parquet
+        "ExistingRDD" in p
+        and "Scan parquet" not in p
+        and n["CartesianProduct"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
 }
 
 

@@ -498,3 +498,80 @@ def _rescale(nodes: DataFrame, raw: DataFrame, total: int) -> DataFrame:
         "node",
         F.expr(f"coalesce(s, 0) * {total} DIV {denom}").cast("long").alias("s"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Maximal k-core of an undirected graph: (node, deg) for every
+    node of the largest induced subgraph in which all degrees are
+    >= k, computed by iterative peeling (remove all nodes of degree
+    < k, recompute degrees, repeat to fixpoint — Matula & Beck's
+    algorithm as driver-coordinated DataFrame rounds).
+
+    Crawl reading: the k-core is the densely interlinked heart of a
+    link graph — the pages a focused crawler should keep fresh because
+    removing any shell of weakly linked pages never disconnects them
+    (the reference crawler's listing<->detail interlinks form exactly
+    such a core over vbpl.vn's category hubs). The peel ORDER is also
+    the inverse of crawl priority: shell nodes peel first.
+
+    Scale design: one degree aggregation (8-byte keys, map-side
+    combine) plus two left_semi joins per round, all on an edge table
+    hash-partitioned by endpoint once and re-persisted per round;
+    edge count is monotonically non-increasing so convergence is an
+    equal-count check (count equal => no node fell below k => global
+    fixpoint). O(peel-depth) rounds; each round's survivor set is
+    localCheckpoint'ed to keep the plan flat. Raises on max_iter
+    exhaustion — callers never receive a silently unconverged core.
+    """
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    # symmetrize in ONE pass over the (possibly expensive) upstream edge
+    # plan — explode emits both orientations per input row, where a
+    # union of two selects would execute the upstream subtree twice
+    live = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x"), F.col("y")),
+                    F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
+        .distinct()
+        .repartition(par, "x")
+        .persist()
+    )
+    n_edges = live.count()
+    for _ in range(max_iter):
+        deg = live.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("x").localCheckpoint(eager=True)
+        nxt = (
+            live.join(keep, "x", "left_semi")
+            .join(keep.select(F.col("x").alias("y")), "y", "left_semi")
+            .repartition(par, "x")
+            .persist()
+        )
+        n_next = nxt.count()
+        live.unpersist()
+        live = nxt
+        if n_next == n_edges:
+            out = live.groupBy(F.col("x").alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            out = out.localCheckpoint(eager=True)
+            live.unpersist()
+            return out
+        n_edges = n_next
+    live.unpersist()
+    raise RuntimeError(
+        f"k_core(k={k}) did not converge within {max_iter} peel rounds — "
+        "raise max_iter (peel depth equals the graph's degeneracy ordering depth)"
+    )

@@ -614,6 +614,8 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries2,
         pipeline_queries3,
         pipeline_queries4,
+        pipeline_queries5,
+        pipeline_queries6,
         profiling_queries,
     )
 
@@ -628,6 +630,8 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries2,
         pipeline_queries3,
         pipeline_queries4,
+        pipeline_queries5,
+        pipeline_queries6,
         profiling_queries,
     )
 
