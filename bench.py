@@ -80,6 +80,8 @@ HEADLINE = [
     "interval_merge_busy_windows",
     "twohop_frontier_reach",
     "host_skew_gini",
+    "bucketed_colocated_join_revenue",
+    "sssp_copurchase_cost",
 ]
 
 

@@ -416,6 +416,22 @@ _BENCH_PLAN_EXPECT = {
         and n["Window"] == 1
         and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
     ),
+    "bucketed_colocated_join_revenue": lambda p, n: (
+        # the join itself is the bucket-i-to-bucket-i zipper: both
+        # scans read bucketed, zero join Exchange; only the priority
+        # agg (+ the orderBy range partitioning) shuffle
+        p.count("Bucketed: true") == 2
+        and n["SortMergeJoin"] == 1
+        and _shuffles(n) <= 2
+        and n["CartesianProduct"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "sssp_copurchase_cost": lambda p, n: (
+        # converged distances are a checkpointed RDD; the histogram
+        # never re-scans parquet or re-runs the relaxation rounds
+        "ExistingRDD" in p
+        and "Scan parquet" not in p
+        and n["CartesianProduct"] + n["BroadcastNestedLoopJoin"] == 0
+    ),
     "bowtie_reachability": lambda p, n: (
         # BFS layers are checkpointed RDDs; the classification joins
         # against the two (tiny) visited sets broadcast — the raw edge

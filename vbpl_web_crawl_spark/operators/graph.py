@@ -575,3 +575,85 @@ def k_core(
         f"k_core(k={k}) did not converge within {max_iter} peel rounds — "
         "raise max_iter (peel depth equals the graph's degeneracy ordering depth)"
     )
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Single-source (multi-seed) shortest paths over a directed,
+    integer-weighted edge list: (node, dist) with dist = min total
+    weight from the seed set; unreached nodes are absent.
+
+    Crawl reading: with weight = per-hop politeness cost (a host's
+    crawl-delay), dist is the cheapest click-path cost from the seed
+    index to every page — the quantity a budget-bounded focused crawl
+    ranks its frontier by (the reference's BFS order is the w=1
+    special case of this, /root/reference/app/service/vbpl.py crawl
+    loop).
+
+    Scale design: Bellman-Ford as driver-coordinated relaxation
+    rounds. Each round is ONE equi-join of the current distance table
+    against the edge table (hash-partitioned by src once, persisted)
+    and ONE min-aggregation on 8-byte keys; bodies/attributes never
+    move. Convergence is detected from a (count, sum) signature of
+    the distance table — min-relaxation is monotone (node count only
+    grows, each node's dist only shrinks), so an unchanged signature
+    is a global fixpoint, costing one tiny aggregate per round
+    instead of a change-detection join. Distance tables are
+    localCheckpoint'ed per round to keep plans flat. Rounds needed =
+    shortest-path hop radius from the seeds (NOT node count), small
+    for web-shaped graphs; RAISES on exhaustion rather than
+    returning partially relaxed distances. All arithmetic is int64:
+    bit-identical at any partitioning, no float drift.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    sig = dist.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+    ).collect()[0]
+    signature = (sig["n"], sig["s"] or 0)
+    for _ in range(max_rounds):
+        relaxed = e.join(dist, e.u == dist.node).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        nxt_signature = (sig["n"], sig["s"] or 0)
+        dist = nxt
+        if nxt_signature == signature:
+            e.unpersist()
+            return dist
+        signature = nxt_signature
+    e.unpersist()
+    raise RuntimeError(
+        f"sssp did not converge within {max_rounds} relaxation rounds — "
+        "raise max_rounds (rounds needed = hop radius of the shortest-path "
+        "tree, bounded by the graph diameter)"
+    )

@@ -616,6 +616,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries4,
         pipeline_queries5,
         pipeline_queries6,
+        pipeline_queries7,
         profiling_queries,
     )
 
@@ -632,6 +633,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries4,
         pipeline_queries5,
         pipeline_queries6,
+        pipeline_queries7,
         profiling_queries,
     )
 
