@@ -12,16 +12,12 @@ from vbpl_web_crawl_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def test_bucketed_join_has_no_exchange(spark, tmp_path):
+def test_bucketed_join_has_no_exchange(spark):
     cust = load_table(spark, SF, "customer")
     orders = load_table(spark, SF, "orders")
-    write_bucketed(cust, "b_customer", ["c_custkey"], 8, str(tmp_path / "c"))
+    write_bucketed(cust, "b_customer", 8, "c_custkey")
     write_bucketed(
-        orders.withColumnRenamed("o_custkey", "c_custkey"),
-        "b_orders",
-        ["c_custkey"],
-        8,
-        str(tmp_path / "o"),
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "b_orders", 8, "c_custkey"
     )
     # force SMJ (broadcast would hide the bucketing effect at this SF)
     joined = (
@@ -43,9 +39,9 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
-def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
+def test_bucketed_groupby_has_no_exchange(spark):
     orders = load_table(spark, SF, "orders")
-    write_bucketed(orders, "b_orders2", ["o_custkey"], 8, str(tmp_path / "o2"))
+    write_bucketed(orders, "b_orders2", 8, "o_custkey")
     agg = spark.table("b_orders2").groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n")
     )

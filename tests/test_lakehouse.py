@@ -122,3 +122,72 @@ def test_fallback_no_pointerless_window_and_monotone_versions(spark, tmp_path):
     assert t._current_dir().endswith("v-00000003")
     assert _state(t) == {2: ("b", 3)}
     assert spark.read.parquet(f"{root}/v-00000001").count() == 1  # intact
+
+
+def test_time_travel_reads_each_snapshot(spark, table):
+    """read(version=<snapshots() entry>) reproduces each committed
+    state; read() with no version stays the latest (Iceberg VERSION AS
+    OF / parquet v-dir, one contract)."""
+    table.replace(_df(spark, [(1, "a", 1)]))
+    table.merge(_df(spark, [(2, "b", 2)]), ["k"])
+    table.merge(_df(spark, [(1, "a2", 3)]), ["k"])
+    ids = table.snapshots()
+    assert len(ids) == 3
+    def at(v):
+        return {r.k: (r.val, r.updated_at) for r in table.read(version=v).collect()}
+    assert at(ids[0]) == {1: ("a", 1)}
+    assert at(ids[1]) == {1: ("a", 1), 2: ("b", 2)}
+    assert at(ids[2]) == _state(table) == {1: ("a2", 3), 2: ("b", 2)}
+
+
+def test_expire_snapshots_bounds_history(spark, table):
+    """expire_snapshots(keep_last=2) drops exactly the oldest data,
+    keeps the latest readable, and time travel to an expired id fails
+    loudly instead of returning stale bytes."""
+    for i in range(4):
+        table.replace(_df(spark, [(1, f"s{i}", i)]))
+    ids = table.snapshots()
+    expired = table.expire_snapshots(keep_last=2)
+    assert expired == ids[:2]
+    assert table.snapshots() == ids[2:]
+    assert _state(table) == {1: ("s3", 3)}  # latest untouched
+    assert {r.k for r in table.read(version=ids[2]).collect()} == {1}
+    with pytest.raises(Exception):
+        table.read(version=ids[0]).collect()
+
+
+def test_expire_then_commit_numbers_past_history(spark, tmp_path):
+    """Expiration must not roll the version counter back: pointers are
+    retained, so the next commit numbers past ALL history including
+    expired snapshots."""
+    t = LakehouseTable.for_path(spark, str(tmp_path / "tbl"))
+    for i in range(3):
+        t.replace(_df(spark, [(1, f"s{i}", i)]))
+    t.expire_snapshots(keep_last=1)
+    t.replace(_df(spark, [(1, "s3", 3)]))
+    assert t._current_dir().endswith("v-00000004")
+    assert t.snapshots() == ["v-00000003", "v-00000004"]
+
+
+def test_remove_orphans_reclaims_crash_debris_only(spark, tmp_path):
+    """A crashed writer's uncommitted v-dir and stale .tmp pointer are
+    removed; every committed snapshot and pointer survives; the next
+    commit still numbers past the removed orphan's slot or reuses it
+    safely (it was never committed)."""
+    import os
+
+    t = LakehouseTable.for_path(spark, str(tmp_path / "tbl"))
+    t.replace(_df(spark, [(1, "a", 1)]))
+    root = str(tmp_path / "tbl")
+    # crash debris: data written but pointer never committed + tmp file
+    _df(spark, [(9, "crash", 9)]).write.parquet(f"{root}/v-00000002")
+    with open(f"{root}/current-00000002.tmp", "w") as f:
+        f.write("v-00000002")
+    removed = t.remove_orphans()
+    assert removed == ["current-00000002.tmp", "v-00000002"]
+    assert _state(t) == {1: ("a", 1)}
+    assert sorted(p for p in os.listdir(root) if p.startswith("current-")) == [
+        "current-00000001"
+    ]
+    t.replace(_df(spark, [(2, "b", 2)]))
+    assert _state(t) == {2: ("b", 2)}

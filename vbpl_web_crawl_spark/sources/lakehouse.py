@@ -107,10 +107,39 @@ class LakehouseTable:
             return bool(self.spark.catalog.tableExists(self.name))
         return self._committed_version() is not None
 
-    def read(self) -> DataFrame:
+    def read(self, version: str | int | None = None) -> DataFrame:
+        """Read the latest snapshot, or — time travel — a specific one.
+
+        ``version`` accepts an entry of :meth:`snapshots` (Iceberg: a
+        snapshot id for ``VERSION AS OF``; parquet: a ``v-<n>`` name or
+        bare integer n). Reading a version that was expired by
+        :meth:`expire_snapshots` raises ``FileNotFoundError`` — same
+        contract as Iceberg after ``expire_snapshots`` drops a
+        snapshot's manifests. Reference analog: the reference keeps a
+        single mutable row per document (app/service/vbpl.py upsert);
+        snapshot history + time travel is what replaces its lost
+        pre-update states at lakehouse scale."""
         if self.name is not None:
-            return self.spark.table(self.name)
-        return self.spark.read.parquet(self._current_dir())
+            if version is None:
+                return self.spark.table(self.name)
+            return self.spark.sql(
+                f"SELECT * FROM {self.name} VERSION AS OF {int(version)}"
+            )
+        if version is None:
+            return self.spark.read.parquet(self._current_dir())
+        n = int(version[2:]) if isinstance(version, str) else int(version)
+        cur = self._committed_version()
+        if cur is None or not 1 <= n <= cur:
+            raise FileNotFoundError(
+                f"no committed snapshot v-{n:08d} under {self.path}"
+            )
+        vdir = f"{self.path}/v-{n:08d}"
+        if not fsio.exists(self.spark, vdir):
+            raise FileNotFoundError(
+                f"snapshot v-{n:08d} was expired (expire_snapshots) — "
+                f"earliest retained: {self.snapshots()[:1]}"
+            )
+        return self.spark.read.parquet(vdir)
 
     def replace(self, df: DataFrame) -> None:
         """Create or fully replace the table contents (one snapshot)."""
@@ -164,6 +193,66 @@ class LakehouseTable:
         )
         cur = self._current_version()
         return [v for v in vs if v <= cur]
+
+    # ---------------- maintenance (Iceberg procedure analogs) -------
+
+    def expire_snapshots(self, keep_last: int) -> list[str]:
+        """Drop the data of all but the newest ``keep_last`` committed
+        snapshots; returns the expired snapshot names, oldest first.
+
+        Iceberg backend: ``CALL <cat>.system.expire_snapshots(retain_last
+        => K)``. Parquet backend: deletes expired ``v-<n>`` data
+        directories but NEVER pointer files — committed pointers stay
+        immutable (bytes-sized), so the version counter keeps advancing
+        monotonically and a reader of an expired version fails loudly
+        instead of seeing a half-deleted table. At 10^10-URL scale the
+        crawl upserts one snapshot per round; without expiration the
+        warehouse holds every round's full copy — this is the operation
+        that bounds storage to K rounds."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if self.name is not None:
+            catalog, tbl = self.name.split(".", 1)
+            before = self.snapshots()
+            self.spark.sql(
+                f"CALL {catalog}.system.expire_snapshots("
+                f"table => '{tbl}', retain_last => {int(keep_last)}, "
+                # newer than *now*: let retain_last alone decide
+                f"older_than => TIMESTAMP '9999-01-01 00:00:00')"
+            )
+            after = set(self.snapshots())
+            return [s for s in before if s not in after]
+        live = self.snapshots()
+        expired = live[:-keep_last] if len(live) > keep_last else []
+        for vname in expired:
+            fsio.delete(self.spark, f"{self.path}/{vname}", recursive=True)
+        return expired
+
+    def remove_orphans(self) -> list[str]:
+        """Delete debris no committed snapshot references: ``v-<n>``
+        directories beyond the last committed pointer (a crashed
+        writer's data) and stale ``current-*.tmp`` pointer writes.
+        Requires no writer in flight (single-writer protocol, same as
+        Iceberg's remove_orphan_files age-threshold caveat). Iceberg
+        backend: the real procedure. Returns removed names."""
+        if self.name is not None:
+            catalog, tbl = self.name.split(".", 1)
+            rows = self.spark.sql(
+                f"CALL {catalog}.system.remove_orphan_files(table => '{tbl}')"
+            ).collect()
+            return [r[0] for r in rows]
+        cur = self._committed_version() or 0
+        removed = []
+        for name in sorted(fsio.listdir(self.spark, self.path)):
+            is_orphan_dir = (
+                name.startswith("v-")
+                and name[2:].isdigit()
+                and int(name[2:]) > cur
+            )
+            if is_orphan_dir or name.endswith(".tmp"):
+                fsio.delete(self.spark, f"{self.path}/{name}", recursive=True)
+                removed.append(name)
+        return removed
 
     # ---------------- parquet snapshot commit ----------------
     #
