@@ -617,6 +617,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries5,
         pipeline_queries6,
         pipeline_queries7,
+        pipeline_queries8,
         profiling_queries,
     )
 
@@ -634,6 +635,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries5,
         pipeline_queries6,
         pipeline_queries7,
+        pipeline_queries8,
         profiling_queries,
     )
 
