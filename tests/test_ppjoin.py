@@ -3,6 +3,7 @@ result equality vs the naive all-pairs join, inclusive behavior at the
 exact tau boundary, and the pruning evidence — hot boilerplate
 shingles never reach the candidate shuffle."""
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vbpl_web_crawl_spark.plans.pipeline_queries import capped_shingles
@@ -99,6 +100,50 @@ def test_prefix_filter_prunes_hot_shingles(spark):
     cands = {(r.doc_a, r.doc_b) for r in ppjoin_candidates(sh).collect()}
     assert naive_pairs >= 45 + 3
     assert cands == {(1, 2), (3, 4)}
+
+
+def test_positional_filter_prunes_deep_prefix_collisions(spark):
+    """A pair whose only common shingle sits at the LAST slot of both
+    prefixes: prefix + length filters alone admit it (collision
+    exists, sizes equal), but the earliest-common-token upper bound
+    1 + min(sz-pos) = 5 < minov = ceil(3*16/8) = 6 proves it can never
+    reach tau, so the positional filter drops it before verify.
+
+    Construction (shingle table built directly — ppjoin_candidates
+    takes any (doc_id, shingle) set table): docs 1 and 2 have 8
+    shingles each, every shingle df=2 (each non-shared shingle is
+    duplicated into a sz=1 helper doc so no df=1 shingle outranks the
+    shared one), the shared shingle 'm_s' sorts 4th by (df, shingle)
+    in both docs — in-prefix (len 8-5+1=4) but as deep as possible.
+    Helper pairs are killed by the length filter (5*1 < 3*8), so the
+    positional filter is the ONLY thing standing between (1,2) and a
+    wasted verify probe."""
+    rows = []
+    for d, names in (
+        (1, ["a1", "a2", "a3", "m_s", "x5", "x6", "x7", "x8"]),
+        (2, ["b1", "b2", "b3", "m_s", "y5", "y6", "y7", "y8"]),
+    ):
+        for s in names:
+            rows.append((d, s))
+            if s != "m_s":  # helper doc gives every private shingle df=2
+                rows.append((100 + len(rows), s))
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    assert {(r.doc_a, r.doc_b) for r in ppjoin_candidates(sh).collect()} == set()
+    # sanity: with the positional test removed the collision IS there —
+    # the prefix of each doc really does contain m_s at pos 4
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")), "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(w))
+        .withColumn("pos", F.row_number().over(w.orderBy("df", "shingle")))
+    )
+    got = {
+        (r.doc_id, r.pos)
+        for r in ranked.filter(
+            (F.col("shingle") == "m_s") & F.col("doc_id").isin(1, 2)
+        ).collect()
+    }
+    assert got == {(1, 4), (2, 4)}
 
 
 def test_ppjoin_gate_nonempty_at_sf0001(spark):

@@ -94,11 +94,27 @@ def ppjoin_pairs(docs: DataFrame, tau_num: int = _TAU_NUM, tau_den: int = _TAU_D
 def ppjoin_candidates(
     sh: DataFrame, tau_num: int = _TAU_NUM, tau_den: int = _TAU_DEN
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs from the prefix +
-    length filters over a (doc_id, shingle) set table — a SUPERSET of
-    the true result (completeness is what the oracle certifies); its
-    size vs the all-shingles join's is the pruning evidence
-    (tests/test_ppjoin.py)."""
+    """Distinct (doc_a < doc_b) candidate pairs from the prefix,
+    length, AND positional filters over a (doc_id, shingle) set table
+    — a SUPERSET of the true result (completeness is what the oracle
+    certifies); its size vs the all-shingles join's is the pruning
+    evidence (tests/test_ppjoin.py).
+
+    Positional filter (the PPJoin refinement over plain All-Pairs,
+    Xiao et al. WWW'08 §3.1): for a pair whose overlap O satisfies
+    Jaccard >= tau, O >= minov = ceil(tau/(1+tau) * (sz_a+sz_b)), and
+    the EARLIEST common shingle e* under the global (df, shingle)
+    order must sit inside both prefixes (if it sat past x's prefix,
+    all O common shingles would fit in x's suffix of ceil(tau*sz_x)-1
+    slots < minov — contradiction). No common shingle precedes e*, so
+    O <= 1 + min(sz_a - pos_a*, sz_b - pos_b*). Taking, per colliding
+    pair, the collision that is minimal in (df, shingle) — which for a
+    true pair IS e* — and requiring that upper bound >= minov prunes
+    collisions that happen too deep in both prefixes to reach tau,
+    without ever dropping a true pair. All integer arithmetic, so the
+    bound can't diverge from the verify predicate by a float ulp. The
+    groupBy replaces the plain ``distinct()`` — same single shuffle on
+    the pair key, strictly fewer verify probes out."""
     w_doc = Window.partitionBy("doc_id")
     ranked = (
         sh.join(sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")), "shingle")
@@ -111,25 +127,46 @@ def ppjoin_candidates(
     # checkpoint: the prefix table is both self-join sides
     prefix = (
         ranked.filter(F.col("pos") <= F.col("sz") - ceil_tau_sz + 1)
-        .select("doc_id", "shingle", "sz")
+        .select("doc_id", "shingle", "df", "sz", "pos")
         .localCheckpoint(eager=False)
     )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        "df",
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
     )
-    cand = (
+    first_hit = (
         pa.join(pb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(  # length filter: tau * max(sz) <= min(sz)
             F.least("sz_a", "sz_b") * tau_den
             >= F.greatest("sz_a", "sz_b") * tau_num
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min_by(
+                F.struct("pos_a", "pos_b", "sz_a", "sz_b"),
+                F.struct("df", "shingle"),
+            ).alias("m")
+        )
     )
+    # minov = ceil(tau/(1+tau) * (sz_a+sz_b)), integer-exact
+    minov = F.expr(
+        f"(({tau_num} * (m.sz_a + m.sz_b) + {tau_num + tau_den - 1})"
+        f" div {tau_num + tau_den})"
+    )
+    cand = first_hit.filter(
+        1 + F.least(F.col("m.sz_a") - F.col("m.pos_a"), F.col("m.sz_b") - F.col("m.pos_b"))
+        >= minov
+    ).select("doc_a", "doc_b")
     return cand
 
 
