@@ -29,6 +29,11 @@ QUERIES = [
     "dedup_minhash_verified_pairs",
     "dedup_simhash_hamming_pairs",
     "dedup_winnowing_pairs",
+    # exact path: final pair count is the TRUE near-dup count (planted
+    # pairs), so linear growth here certifies the corpus composition;
+    # the prefix/positional pruning claim is certified separately by
+    # the candidate probe below
+    "dedup_ppjoin_exact_pairs",
     # dedup_incremental_pairs is NOT probed here: textgen's planted
     # near-dup pairs are (5k, 5k+4), which always fall in the SAME
     # doc_id % 4 ingest class, so the cross-split pair count is 0 by
@@ -49,17 +54,29 @@ def main() -> int:
     from vbpl_web_crawl_spark.session import get_spark
     from vbpl_web_crawl_spark.sources.textgen import synth_documents
 
+    from vbpl_web_crawl_spark.plans.pipeline_queries import capped_shingles
+    from vbpl_web_crawl_spark.plans.pipeline_queries8 import ppjoin_candidates
+
     spark = get_spark("dedup_scaling_probe", cpus=16)
     qs = get_queries()
-    results: dict[str, dict[int, dict]] = {q: {} for q in QUERIES}
+    probes = QUERIES + ["ppjoin_candidates"]
+    results: dict[str, dict[int, dict]] = {q: {} for q in probes}
     for n in sizes:
         sf_dir = f"/tmp/dedup_scale/n{n}"
         path = os.path.join(sf_dir, "documents.parquet")
         if not os.path.exists(path):
             synth_documents(spark, n).write.mode("overwrite").parquet(path)
-        for q in QUERIES:
+        for q in probes:
             t0 = time.time()
-            rows = qs[q](spark, sf_dir).count()
+            if q == "ppjoin_candidates":
+                # pre-verify candidate volume — the prefix+positional
+                # pruning boundedness claim, measured
+                docs = spark.read.parquet(path)
+                rows = ppjoin_candidates(
+                    capped_shingles(docs, df_cap=1 << 62)
+                ).count()
+            else:
+                rows = qs[q](spark, sf_dir).count()
             wall = time.time() - t0
             rec = {"n": n, "query": q, "pairs": rows, "wall_s": round(wall, 2)}
             results[q][n] = rec
@@ -68,7 +85,7 @@ def main() -> int:
     lo, hi = min(sizes), max(sizes)
     scale = hi / lo
     ok = True
-    for q in QUERIES:
+    for q in probes:
         p_lo, p_hi = results[q][lo]["pairs"], results[q][hi]["pairs"]
         growth = (p_hi / p_lo) if p_lo else float("inf")
         linear_safe = p_hi == 0 or growth <= 1.5 * scale
