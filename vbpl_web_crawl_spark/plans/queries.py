@@ -618,6 +618,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries6,
         pipeline_queries7,
         pipeline_queries8,
+        pipeline_queries9,
         profiling_queries,
     )
 
@@ -636,6 +637,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries6,
         pipeline_queries7,
         pipeline_queries8,
+        pipeline_queries9,
         profiling_queries,
     )
 
