@@ -384,6 +384,41 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] == 0
         and "PushedFilters: [IsNotNull(o_orderdate)" in p
     ),
+    "tpch_q10_returned_items": lambda p, n: (
+        # customer + nation dims broadcast; one fact shuffle for the
+        # custkey agg; top-20 = TakeOrderedAndProject, never a global
+        # sort; returnflag + date predicates pushed to the scans
+        n["BroadcastHashJoin"] >= 2
+        and "TakeOrderedAndProject" in p
+        and "PushedFilters: [IsNotNull(l_returnflag)" in p
+        and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
+    ),
+    "tpch_q14_promo_effect": lambda p, n: (
+        # part broadcast into the windowed lineitem scan; ship-date
+        # predicates pushed; one global conditional agg (partial +
+        # final), no sort or window anywhere
+        n["BroadcastHashJoin"] >= 1
+        and "PushedFilters: [IsNotNull(l_shipdate)" in p
+        and n["Window"] + n["Sort"] == 0
+    ),
+    "tpch_q18_large_volume": lambda p, n: (
+        # the HAVING pre-agg runs on l_orderkey BEFORE the joins and
+        # its tiny qualifying set broadcasts outward — the orders and
+        # customer tables never shuffle; top-100 by totalprice is
+        # TakeOrderedAndProject
+        n["BroadcastHashJoin"] >= 2
+        and "TakeOrderedAndProject" in p
+        and n["SortMergeJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "tpch_q19_discounted_revenue": lambda p, n: (
+        # broadcast equi-join on p_partkey with the OR-of-ANDs as a
+        # residual; the cross-branch quantity envelope still pushes to
+        # the lineitem parquet scan despite the unpushable OR
+        n["BroadcastHashJoin"] >= 1
+        and "GreaterThanOrEqual(l_quantity,1" in p
+        and "LessThanOrEqual(l_quantity,30" in p
+        and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
+    ),
     "image_aspect_batch_packing": lambda p, n: (
         # one documents scan pruned to doc_id; one bucket-keyed window
         # does the packing; no join anywhere

@@ -620,6 +620,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries8,
         pipeline_queries9,
         profiling_queries,
+        tpch_queries,
     )
 
     return dict(QUERIES)
@@ -639,6 +640,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries8,
         pipeline_queries9,
         profiling_queries,
+        tpch_queries,
     )
 
     out: dict[str, str] = {}
