@@ -610,6 +610,7 @@ def get_queries() -> dict[str, QueryFn]:
     from vbpl_web_crawl_spark.plans import (  # noqa: F401
         analytics_queries,
         extra_queries,
+        modern_queries,
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
@@ -630,6 +631,7 @@ def get_oracles() -> dict[str, str]:
     from vbpl_web_crawl_spark.plans import (  # noqa: F401
         analytics_queries,
         extra_queries,
+        modern_queries,
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
