@@ -82,6 +82,13 @@ HEADLINE = [
     "host_skew_gini",
     "bucketed_colocated_join_revenue",
     "sssp_copurchase_cost",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "variant_props_extract",
+    "udtf_token_explode_topk",
+    "datasource_point_page",
 ]
 
 
