@@ -475,6 +475,41 @@ _BENCH_PLAN_EXPECT = {
         and "Scan parquet" not in p
         and n["CartesianProduct"] + n["BroadcastNestedLoopJoin"] == 0
     ),
+    "variant_props_extract": lambda p, n: (
+        # props parsed ONCE into VARIANT then read with typed
+        # variant_get — no regexp/string re-scan; scan pruned to
+        # (value, props); partial+final agg, one data shuffle plus the
+        # orderBy range exchange, no join anywhere
+        "variant_get" in p
+        and "RLike" not in p
+        and "ReadSchema: struct<value:double,props:string>" in p
+        and n["HashAggregate"] >= 2
+        and _shuffles(n) <= 2
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "udtf_token_explode_topk": lambda p, n: (
+        # the UDTF only EMITS rows (one Arrow-batched eval over the
+        # pruned 2-col scan); the shuffle/agg/top-k stay Catalyst-side:
+        # partial aggs before each exchange, top-k as
+        # TakeOrderedAndProject, never a global sort or join
+        "BatchEvalPythonUDTF" in p
+        and "ReadSchema: struct<doc_id:bigint,text:string>" in p
+        and "TakeOrderedAndProject" in p
+        and n["HashAggregate"] >= 2
+        and n["Sort"] == 0
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "datasource_point_page": lambda p, n: (
+        # both predicates cross the pushFilters boundary into the
+        # Python DataSource reader (which prunes to _MIRRORS partitions
+        # at planning time); nothing is left to filter, shuffle, or
+        # join above the BatchScan
+        n["BatchScan"] == 1
+        and "PushedFilters: [EqualTo(page,3), EqualTo(doc_class,phap_quy)]" in p
+        and n["Filter"] == 0
+        and _shuffles(n) == 0
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
 }
 
 
