@@ -597,16 +597,23 @@ def sssp(
     loop).
 
     Scale design: Bellman-Ford as driver-coordinated relaxation
-    rounds. Each round is ONE equi-join of the current distance table
-    against the edge table (hash-partitioned by src once, persisted)
-    and ONE min-aggregation on 8-byte keys; bodies/attributes never
-    move. Convergence is detected from a (count, sum) signature of
-    the distance table — min-relaxation is monotone (node count only
-    grows, each node's dist only shrinks), so an unchanged signature
-    is a global fixpoint, costing one tiny aggregate per round
-    instead of a change-detection join. Distance tables are
-    localCheckpoint'ed per round to keep plans flat. Rounds needed =
-    shortest-path hop radius from the seeds (NOT node count), small
+    rounds. Each relaxation is ONE equi-join of the current distance
+    table against the edge table (hash-partitioned by src once,
+    persisted) and ONE min-aggregation on 8-byte keys;
+    bodies/attributes never move. Convergence is detected from a
+    (count, sum) signature of the distance table — min-relaxation is
+    monotone (node count only grows, each node's dist only shrinks),
+    so an unchanged signature is a global fixpoint, costing one tiny
+    aggregate instead of a change-detection join; monotonicity
+    composes, so the check stays valid across any number of chained
+    relaxations. TWO relaxations run per driver barrier (relaxation
+    doubling): on a cluster every barrier is a full job submission +
+    checkpoint + driver sync, so halving the barrier count halves the
+    fixed coordination cost at the price of at most ONE wasted
+    relaxation past the fixpoint (relaxing a fixpoint is the
+    identity). Distance tables are localCheckpoint'ed per barrier to
+    keep plans flat. ``max_rounds`` counts RELAXATIONS: rounds needed
+    = shortest-path hop radius from the seeds (NOT node count), small
     for web-shaped graphs; RAISES on exhaustion rather than
     returning partially relaxed distances. All arithmetic is int64:
     bit-identical at any partitioning, no float drift.
@@ -632,16 +639,27 @@ def sssp(
         F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
     ).collect()[0]
     signature = (sig["n"], sig["s"] or 0)
-    for _ in range(max_rounds):
-        relaxed = e.join(dist, e.u == dist.node).select(
+
+    def _relax(d: DataFrame) -> DataFrame:
+        stepped = e.join(d, e.u == d.node).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        nxt = (
-            dist.unionByName(relaxed)
+        return (
+            d.unionByName(stepped)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+
+    rounds_left = max_rounds
+    while rounds_left > 0:
+        # relaxation doubling: chain up to 2 lazy relaxations into one
+        # job, then a single checkpoint + signature barrier
+        nxt = _relax(dist)
+        rounds_left -= 1
+        if rounds_left > 0:
+            nxt = _relax(nxt)
+            rounds_left -= 1
+        nxt = nxt.localCheckpoint(eager=True)
         sig = nxt.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
         ).collect()[0]
