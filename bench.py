@@ -89,6 +89,7 @@ HEADLINE = [
     "variant_props_extract",
     "udtf_token_explode_topk",
     "datasource_point_page",
+    "warc_cdx_index",
 ]
 
 

@@ -499,6 +499,18 @@ _BENCH_PLAN_EXPECT = {
         and n["Sort"] == 0
         and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
     ),
+    "warc_cdx_index": lambda p, n: (
+        # one documents scan pruned to (doc_id, text, source); the
+        # only shuffle is the segment-key Exchange feeding the
+        # applyInPandas segment builder; parse is a shuffle-free
+        # mapInPandas; no joins, no windows
+        "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in p
+        and n["FlatMapGroupsInPandas"] == 1
+        and n["MapInPandas"] == 1
+        and _shuffles(n) == 1
+        and n["Window"] == 0
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
     "datasource_point_page": lambda p, n: (
         # both predicates cross the pushFilters boundary into the
         # Python DataSource reader (which prunes to _MIRRORS partitions

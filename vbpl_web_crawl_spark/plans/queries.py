@@ -620,6 +620,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries7,
         pipeline_queries8,
         pipeline_queries9,
+        pipeline_queries10,
         profiling_queries,
         tpch_queries,
     )
@@ -641,6 +642,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries7,
         pipeline_queries8,
         pipeline_queries9,
+        pipeline_queries10,
         profiling_queries,
         tpch_queries,
     )
