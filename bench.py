@@ -90,6 +90,7 @@ HEADLINE = [
     "udtf_token_explode_topk",
     "datasource_point_page",
     "warc_cdx_index",
+    "sitemap_frontier_seed",
 ]
 
 

@@ -511,6 +511,20 @@ _BENCH_PLAN_EXPECT = {
         and n["Window"] == 0
         and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
     ),
+    "sitemap_frontier_seed": lambda p, n: (
+        # zero Python in the plan: render is a string agg (partial +
+        # final ObjectHashAggregate around the one host/chunk-key
+        # Exchange), parse is built-in xpath + one Generate (explode);
+        # scan pruned to (doc_id, source); no joins, no windows
+        "ReadSchema: struct<doc_id:bigint,source:string>" in p
+        and n["ObjectHashAggregate"] == 2
+        and n["Generate"] == 1
+        and _shuffles(n) == 1
+        and n["BatchEvalPython"] + n["ArrowEvalPython"] == 0
+        and n["FlatMapGroupsInPandas"] + n["MapInPandas"] == 0
+        and n["Window"] == 0
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
     "datasource_point_page": lambda p, n: (
         # both predicates cross the pushFilters boundary into the
         # Python DataSource reader (which prunes to _MIRRORS partitions

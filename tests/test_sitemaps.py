@@ -1,0 +1,129 @@
+"""Sitemap protocol (crawl/sitemaps.py): entity escaping round-trip,
+spec chunking, sitemapindex, robots Sitemap: directives, loud failure
+on misaligned url entries, and the frontier-seed gate vs DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vbpl_web_crawl_spark.crawl.sitemaps import (
+    parse_sitemap_directives,
+    parse_sitemap_index,
+    parse_sitemaps,
+    render_sitemap_index,
+    render_sitemaps,
+)
+from vbpl_web_crawl_spark.plans.pipeline_queries10 import (
+    _SITEMAP_SQL,
+    q_sitemap_frontier_seed,
+)
+
+
+def _urls_df(spark, n=37, with_seq=True):
+    rows = [
+        (
+            f"h{i % 3}.vbpl.vn",
+            f"https://h{i % 3}.vbpl.vn/doc/{i}?a=1&b=<{i}>'\"",
+            f"2026-02-{i % 28 + 1:02d}",
+            (i % 10) / 10.0,
+            i // 3,  # 0-based per-host position
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, lastmod string, priority double, seq long"
+    )
+    return df if with_seq else df.drop("seq")
+
+
+def test_escape_roundtrip_and_fields(spark):
+    urls = _urls_df(spark)
+    back = parse_sitemaps(render_sitemaps(urls, chunk_size=100))
+    got = {r["url"]: r for r in back.collect()}
+    want = {r["url"]: r for r in urls.collect()}
+    assert set(got) == set(want)  # &, <, >, ', " survive the XML
+    for u, r in want.items():
+        assert got[u]["host"] == r["host"]
+        assert got[u]["lastmod"] == r["lastmod"]
+        assert got[u]["priority"] == pytest.approx(r["priority"])
+
+
+def test_chunking_respects_cap_and_partitioning_invariance(spark):
+    sm1 = render_sitemaps(_urls_df(spark).repartition(1), chunk_size=5)
+    sm7 = render_sitemaps(_urls_df(spark).repartition(7), chunk_size=5)
+    rows1 = {(r["host"], r["chunk"]): r["sitemap_xml"] for r in sm1.collect()}
+    rows7 = {(r["host"], r["chunk"]): r["sitemap_xml"] for r in sm7.collect()}
+    assert rows1 == rows7  # XML bytes independent of parallelism
+    counts = {k: r for k, r in ((k, v.count("<url>")) for k, v in rows1.items())}
+    assert all(c <= 5 for c in counts.values())
+    # 37 urls over 3 hosts, 13/12/12 positions -> ceil(13/5)=3 chunks max
+    assert max(k[1] for k in rows1) == 2
+
+
+def test_sitemap_index_roundtrip(spark):
+    sm = render_sitemaps(_urls_df(spark), chunk_size=5)
+    idx = parse_sitemap_index(render_sitemap_index(sm)).collect()
+    want = {
+        (r["host"], f"https://{r['host']}/sitemap-{r['chunk']}.xml")
+        for r in sm.collect()
+    }
+    assert {(r["host"], r["sitemap_url"]) for r in idx} == want
+
+
+def test_misaligned_entries_fail_loudly(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a/1</loc><lastmod>2026-01-01</lastmod>"
+        "<priority>0.5</priority></url>"
+        "<url><loc>https://a/2</loc><priority>0.5</priority></url>"  # no lastmod
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a", xml)], "host string, sitemap_xml string")
+    with pytest.raises(Exception, match="missing lastmod/priority"):
+        parse_sitemaps(df).collect()
+
+
+def test_robots_sitemap_directives():
+    txt = (
+        "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+        "Sitemap: https://vbpl.vn/sitemap-index.xml  # portal-wide\n"
+        "sitemap: https://m1.vbpl.vn/sm.xml\n"
+        "SiteMapX: https://not-a-directive\nSitemap:\n"
+    )
+    assert parse_sitemap_directives(txt) == (
+        "https://vbpl.vn/sitemap-index.xml",
+        "https://m1.vbpl.vn/sm.xml",
+    )
+
+
+def test_namespaced_real_world_sitemap_parses(spark):
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://vbpl.vn/doc/9</loc><lastmod>2026-03-01</lastmod>"
+        "<priority>0.9</priority></url></urlset>"
+    )
+    df = spark.createDataFrame([("vbpl.vn", xml)], "host string, sitemap_xml string")
+    rows = parse_sitemaps(df).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://vbpl.vn/doc/9"
+    assert rows[0]["priority"] == pytest.approx(0.9)
+
+
+def test_seed_gate_matches_duckdb_oracle(spark):
+    got = (
+        q_sitemap_frontier_seed(spark, SF_DIR)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(_SITEMAP_SQL).fetchdf().sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("host", "url", "lastmod", "priority"):
+        assert got[col].astype(str).tolist() == want[col].astype(str).tolist(), col

@@ -1,5 +1,5 @@
 """Round-5 continuation queries, part 10: the WARC archive container
-gate.
+gate and the sitemap-protocol frontier-seed gate.
 
 ``sources/warc.py`` writes the corpus into real WARC/1.1 segment blobs
 and parses them back (digest-verified). The gate round-trips the
@@ -88,3 +88,47 @@ def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_len",
         "digest",
     )
+
+
+_SITEMAP_SQL = """
+SELECT source || '.vbpl.vn' AS host,
+       'https://' || source || '.vbpl.vn/doc/' || doc_id AS url,
+       CAST(DATE '2026-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR)
+         AS lastmod,
+       (doc_id % 10) / 10.0 AS priority
+FROM documents
+"""
+
+
+@_register("sitemap_frontier_seed", _SITEMAP_SQL)
+def q_sitemap_frontier_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier seed rows recovered by PARSING real per-host sitemap
+    XML the engine rendered (crawl/sitemaps.py): documents -> spec-
+    shaped chunked urlsets -> xpath parse -> (host, url, lastmod,
+    priority). The oracle emits the seed rows directly, so the gate
+    certifies render∘parse = identity — entity escaping, chunk
+    assignment, field alignment, and priority formatting included.
+    Entirely Catalyst-side: string agg + built-in xpath, no Python."""
+    from vbpl_web_crawl_spark.crawl.sitemaps import parse_sitemaps, render_sitemaps
+
+    urls = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit(".vbpl.vn")).alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".vbpl.vn/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("2026-01-01")),
+                F.pmod(F.col("doc_id"), F.lit(365)).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("lastmod"),
+        (F.pmod(F.col("doc_id"), F.lit(10)) / F.lit(10.0)).alias("priority"),
+        # 0-based per-host position stand-in: exercises multi-chunk
+        # rendering (chunk = seq div chunk_size) deterministically
+        F.pmod(F.col("doc_id"), F.lit(1000)).alias("seq"),
+    )
+    return parse_sitemaps(render_sitemaps(urls, chunk_size=100))
