@@ -63,6 +63,18 @@ def test_chunking_respects_cap_and_partitioning_invariance(spark):
     assert max(k[1] for k in rows1) == 2
 
 
+def test_literal_entity_text_not_double_decoded(spark):
+    # a URL containing the LITERAL characters "&amp;"/"&lt;": xpath
+    # already decodes XML entities, so a second manual decode pass
+    # would corrupt this to "...q=&x" (the bug this test pins)
+    rows = [("h", "https://h/doc?q=&amp;x&lt;y", "2026-01-01", 0.5)]
+    df = spark.createDataFrame(
+        rows, "host string, url string, lastmod string, priority double"
+    )
+    back = parse_sitemaps(render_sitemaps(df)).collect()
+    assert back[0]["url"] == "https://h/doc?q=&amp;x&lt;y"
+
+
 def test_sitemap_index_roundtrip(spark):
     sm = render_sitemaps(_urls_df(spark), chunk_size=5)
     idx = parse_sitemap_index(render_sitemap_index(sm)).collect()

@@ -160,15 +160,13 @@ def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFra
         zipped,
     )
     exploded = sitemaps.select("host", F.explode(checked).alias("r"))
-    unescaped = F.col("r.loc")
-    for esc, raw in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
-        ("&amp;", "&"),  # ampersand LAST so escaped sequences survive
-    ):
-        unescaped = F.replace(unescaped, F.lit(esc), F.lit(raw))
+    # NO manual entity unescape here: xpath's text() is a real XML
+    # parser and already returns decoded character data — a second
+    # decode pass would corrupt URLs containing literal "&amp;"/"&lt;"
+    # substrings (double-decode).
     return exploded.select(
         "host",
-        unescaped.alias("url"),
+        F.col("r.loc").alias("url"),
         F.col("r.lastmod").alias("lastmod"),
         F.col("r.priority").cast("double").alias("priority"),
     )
