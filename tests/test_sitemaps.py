@@ -124,6 +124,54 @@ def test_namespaced_real_world_sitemap_parses(spark):
     assert rows[0]["priority"] == pytest.approx(0.9)
 
 
+def test_sitemap_seeded_crawl_matches_oracle(spark, tmp_path):
+    """End-to-end integration: listing URLs round-tripped through real
+    sitemap XML seed the crawl ENGINE, and the same seed list drives
+    the single-threaded oracle — visit order and seen set must be
+    identical. Seeds are a PARTIAL universe (one doc class only), so
+    this exercises a crawl the default full-seed tests never run."""
+    from vbpl_web_crawl_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from vbpl_web_crawl_spark.crawl.oracle import run_oracle
+    from vbpl_web_crawl_spark.crawl.sitemaps import seed_list_from_sitemaps
+    from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+    site = SITE.SiteConfig(n_pages=2, docs_per_page=6, related_per_doc=2)
+    # advertise only the phap_quy listing pages via a sitemap
+    listing = [
+        (u, dt) for u, dt in SITE.seed_urls(site) if "phap_quy" in u
+    ]
+    assert 0 < len(listing) < len(SITE.seed_urls(site))
+    urls = spark.createDataFrame(
+        [("vbpl.vn", u, "2026-01-01", (i % 10) / 10.0) for i, (u, _) in enumerate(listing)],
+        "host string, url string, lastmod string, priority double",
+    )
+    seeds = seed_list_from_sitemaps(parse_sitemaps(render_sitemaps(urls)))
+    assert {u for u, _ in seeds} == {u for u, _ in listing}
+
+    cfg = CrawlConfig(
+        site=site,
+        round_window_s=30.0,
+        n_seen_partitions=4,
+        bloom_bits=1 << 16,
+        cuckoo_buckets=1 << 10,
+        seed_list=seeds,
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "ckpt"))
+    eng.run(resume=False)
+    state = eng.final_state()
+    oracle = run_oracle(
+        site, cfg.robots, cfg.round_window_s, cfg.max_retries, seed_list=seeds
+    )
+    engine_order = [
+        r.url for r in state["visit_log"].orderBy("visit_seq").select("url").collect()
+    ]
+    assert engine_order == oracle.visit_order
+    engine_urls = {r.url for r in state["enqueue_log"].select("url").collect()}
+    assert engine_urls == oracle.seen
+    # the hop_nhat listing pages were never seeded and never visited
+    assert not any("hop_nhat" in u and "/doc/" not in u for u in engine_order[:2])
+
+
 def test_seed_gate_matches_duckdb_oracle(spark):
     got = (
         q_sitemap_frontier_seed(spark, SF_DIR)

@@ -149,6 +149,12 @@ class CrawlConfig:
     # the sleeps would only meter the sleep. Scheduling, visit order and
     # the seen set are identical either way (asserted in tests).
     pace_fetches: bool = False
+    # explicit seed override: (url, doc_type) rows crawled instead of
+    # the universe's full listing seed list — the sitemap-seeded (or
+    # partial re-crawl) entry path. None = SITE.seed_urls(site).
+    # Seed order defines discovery_seq, so the same list fed to the
+    # oracle reproduces the same crawl exactly.
+    seed_list: list | None = None
 
 
 class CrawlEngine:
@@ -332,7 +338,11 @@ class CrawlEngine:
     # ---------------- seed ----------------
 
     def seed_frontier(self) -> DataFrame:
-        seeds = SITE.seed_urls(self.cfg.site)
+        seeds = (
+            self.cfg.seed_list
+            if self.cfg.seed_list is not None
+            else SITE.seed_urls(self.cfg.site)
+        )
         rows = [(u, dt, i) for i, (u, dt) in enumerate(seeds)]
         df = self.spark.createDataFrame(rows, "url string, doc_type string, seed_pos long")
         return (

@@ -59,6 +59,7 @@ def run_oracle(
     round_window_s: float = 60.0,
     max_retries: int = 3,
     max_rounds: int = 1000,
+    seed_list: list | None = None,
 ) -> OracleResult:
     budgets = {
         h: P.host_budget(r.get("crawl_delay", P.DEFAULT_CRAWL_DELAY), round_window_s)
@@ -80,7 +81,8 @@ def run_oracle(
     # pending rows: dicts with url, depth, doc_type, rank, seq, retry
     pending: list[dict] = []
     next_seq = 0
-    for url, dt in SITE.seed_urls(site):
+    seeds = seed_list if seed_list is not None else SITE.seed_urls(site)
+    for url, dt in seeds:
         pending.append(
             {
                 "url": url,

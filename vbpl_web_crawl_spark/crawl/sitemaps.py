@@ -172,6 +172,27 @@ def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFra
     )
 
 
+def seed_list_from_sitemaps(
+    parsed: DataFrame, doc_type: str = "listing"
+) -> list[tuple[str, str]]:
+    """Collect parsed sitemap rows into the (url, doc_type) seed list
+    the crawl engine and its oracle both accept (CrawlConfig.seed_list
+    / run_oracle(seed_list=...)). Ordered by (priority desc, url) —
+    the sitemap's own importance signal decides seed order, which in
+    turn defines discovery_seq, so the same list drives both engine
+    and oracle to an identical crawl. Driver-side collect is fine:
+    seed lists are listing-page universes (thousands), not frontiers.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (
+        parsed.select("url", "priority")
+        .orderBy(F.col("priority").desc(), F.col("url"))
+        .collect()
+    )
+    return [(r["url"], doc_type) for r in rows]
+
+
 def parse_sitemap_index(index: DataFrame, xml_col: str = "index_xml") -> DataFrame:
     """(host, sitemap_url) rows out of sitemapindex XML."""
     xp = (
