@@ -124,6 +124,38 @@ def test_namespaced_real_world_sitemap_parses(spark):
     assert rows[0]["priority"] == pytest.approx(0.9)
 
 
+def test_full_discovery_chain(spark):
+    """robots.txt Sitemap: directive -> sitemapindex -> chunk sitemaps
+    -> frontier seed rows, each hop through the real parser of the
+    previous hop's rendered artifact."""
+    urls = _urls_df(spark, n=23)
+    sm = render_sitemaps(urls, chunk_size=4)
+    # hop 1: robots advertises each host's index URL
+    robots_txt = "User-agent: *\nDisallow: /private\n" + "".join(
+        f"Sitemap: https://{h}/sitemap-index.xml\n"
+        for h in ("h0.vbpl.vn", "h1.vbpl.vn", "h2.vbpl.vn")
+    )
+    advertised = parse_sitemap_directives(robots_txt)
+    assert len(advertised) == 3
+    # hop 2: each advertised index enumerates that host's chunk files
+    idx = parse_sitemap_index(render_sitemap_index(sm))
+    chunks_by_host = {}
+    for r in idx.collect():
+        chunks_by_host.setdefault(r["host"], set()).add(r["sitemap_url"])
+    assert set(chunks_by_host) == {f"h{i}.vbpl.vn" for i in range(3)}
+    assert sum(len(v) for v in chunks_by_host.values()) == sm.count()
+    # hop 3: parsing every chunk recovers the full URL universe
+    from vbpl_web_crawl_spark.crawl.sitemaps import seed_list_from_sitemaps
+
+    seeds = seed_list_from_sitemaps(parse_sitemaps(sm), doc_type="detail")
+    assert len(seeds) == 23
+    assert {u for u, _ in seeds} == {r["url"] for r in urls.collect()}
+    # priority-desc order holds
+    prios = {r["url"]: r["priority"] for r in urls.collect()}
+    got_p = [prios[u] for u, _ in seeds]
+    assert got_p == sorted(got_p, reverse=True)
+
+
 def test_sitemap_seeded_crawl_matches_oracle(spark, tmp_path):
     """End-to-end integration: listing URLs round-tripped through real
     sitemap XML seed the crawl ENGINE, and the same seed list drives
