@@ -91,6 +91,7 @@ HEADLINE = [
     "datasource_point_page",
     "warc_cdx_index",
     "sitemap_frontier_seed",
+    "sitemap_delta_revisit",
 ]
 
 

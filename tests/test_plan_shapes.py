@@ -525,6 +525,18 @@ _BENCH_PLAN_EXPECT = {
         and n["Window"] == 0
         and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
     ),
+    "sitemap_delta_revisit": lambda p, n: (
+        # two generations rendered + parsed (2 Generate), FULL OUTER
+        # diff on the url key as one SortMergeJoin, everything over
+        # (doc_id, source)-pruned scans; no Python nodes, no cartesian
+        "ReadSchema: struct<doc_id:bigint,source:string>" in p
+        and n["SortMergeJoin"] == 1
+        and "FullOuter" in p
+        and n["Generate"] == 2
+        and n["BatchEvalPython"] + n["ArrowEvalPython"] == 0
+        and n["FlatMapGroupsInPandas"] + n["MapInPandas"] == 0
+        and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
+    ),
     "datasource_point_page": lambda p, n: (
         # both predicates cross the pushFilters boundary into the
         # Python DataSource reader (which prunes to _MIRRORS partitions

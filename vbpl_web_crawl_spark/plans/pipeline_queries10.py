@@ -132,3 +132,126 @@ def q_sitemap_frontier_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(1000)).alias("seq"),
     )
     return parse_sitemaps(render_sitemaps(urls, chunk_size=100))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap-lastmod delta recrawl: the NO-FETCH freshness signal. A real
+# crawler refetches a host's sitemap (bytes ~ 1/1000th of the pages it
+# indexes) and diffs lastmod against the previous generation to decide
+# what to revisit — complementing recrawl_cdc_delta, which diffs
+# CONTENT after fetching. Generation B is a deterministic mutation of
+# A: docs with doc_id % 13 == 0 disappear (removed), doc_id % 5 == 0
+# get lastmod + 1 day (changed), everything else is untouched. BOTH
+# generations round-trip through real rendered XML and the xpath
+# parser before the diff, so the gate certifies the full
+# parse-diff-classify pipeline; the oracle re-derives the classes
+# straight from the arithmetic. FULL OUTER join on the url key only —
+# at 10^10 URLs the diff shuffles (url, lastmod), never page bodies.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_DELTA_SQL = """
+WITH a AS (
+  SELECT source || '.vbpl.vn' AS host,
+         'https://' || source || '.vbpl.vn/doc/' || doc_id AS url,
+         CAST(DATE '2026-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR)
+           AS lastmod
+  FROM documents
+),
+b AS (
+  SELECT source || '.vbpl.vn' AS host,
+         'https://' || source || '.vbpl.vn/doc/' || doc_id AS url,
+         CAST(DATE '2026-01-01'
+              + CAST(doc_id % 365 AS INTEGER)
+              + CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+              AS VARCHAR) AS lastmod
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  -- generation-B-only pages (the 'added' class): revision-2 URLs
+  SELECT source || '.vbpl.vn',
+         'https://' || source || '.vbpl.vn/doc/' || doc_id || '-rev2',
+         CAST(DATE '2026-06-01' AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+),
+d AS (
+  SELECT COALESCE(a.host, b.host) AS host,
+         CASE WHEN a.url IS NULL THEN 'added'
+              WHEN b.url IS NULL THEN 'removed'
+              WHEN a.lastmod <> b.lastmod THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         COALESCE(a.url, b.url) AS url
+  FROM a FULL OUTER JOIN b ON a.url = b.url
+)
+SELECT host, change,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       min(url) AS min_url, max(url) AS max_url
+FROM d GROUP BY host, change
+"""
+
+
+@_register("sitemap_delta_revisit", _SITEMAP_DELTA_SQL)
+def q_sitemap_delta_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host added/removed/changed/unchanged classification of two
+    sitemap generations, both parsed out of real rendered XML."""
+    from vbpl_web_crawl_spark.crawl.sitemaps import parse_sitemaps, render_sitemaps
+
+    def gen(docs: DataFrame, shift_changed: bool) -> DataFrame:
+        lastmod_days = F.pmod(F.col("doc_id"), F.lit(365)).cast("int")
+        if shift_changed:
+            lastmod_days = lastmod_days + F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(1)
+            ).otherwise(F.lit(0))
+        return docs.select(
+            F.concat(F.col("source"), F.lit(".vbpl.vn")).alias("host"),
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".vbpl.vn/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.date_format(
+                F.date_add(F.to_date(F.lit("2026-01-01")), lastmod_days),
+                "yyyy-MM-dd",
+            ).alias("lastmod"),
+            F.lit(0.5).alias("priority"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    added = docs.filter(F.pmod("doc_id", F.lit(11)) == 0).select(
+        F.concat(F.col("source"), F.lit(".vbpl.vn")).alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".vbpl.vn/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("-rev2"),
+        ).alias("url"),
+        F.lit("2026-06-01").alias("lastmod"),
+        F.lit(0.5).alias("priority"),
+    )
+    a = parse_sitemaps(render_sitemaps(gen(docs, False)))
+    b = parse_sitemaps(
+        render_sitemaps(
+            gen(docs.filter(F.pmod("doc_id", F.lit(13)) != 0), True).unionByName(
+                added
+            )
+        )
+    )
+    d = a.select("host", "url", "lastmod").alias("a").join(
+        b.select("host", "url", "lastmod").alias("b"),
+        F.col("a.url") == F.col("b.url"),
+        "full_outer",
+    )
+    classified = d.select(
+        F.coalesce(F.col("a.host"), F.col("b.host")).alias("host"),
+        F.when(F.col("a.url").isNull(), F.lit("added"))
+        .when(F.col("b.url").isNull(), F.lit("removed"))
+        .when(F.col("a.lastmod") != F.col("b.lastmod"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        F.coalesce(F.col("a.url"), F.col("b.url")).alias("url"),
+    )
+    return classified.groupBy("host", "change").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("url").alias("min_url"),
+        F.max("url").alias("max_url"),
+    )
