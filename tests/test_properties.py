@@ -341,3 +341,60 @@ def test_adpcm_length_exact_and_stable(vals):
     dec, rate = AUD.wav_decode(wav)
     assert rate == 8000 and dec.shape == (len(s), 1)
     assert AUD.wav_encode_adpcm(dec[:, 0].copy(), 8000) == wav
+
+
+# ---------------------------------------------------------------------------
+# WARC container (sources/warc.py) — pure-python kernel properties.
+# ---------------------------------------------------------------------------
+
+_payloads = st.binary(min_size=0, max_size=4096)
+# header-safe URI charset: any printable non-control text (the XML/WARC
+# header line cannot carry CR/LF; real URLs never do either)
+_urls = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    min_size=1,
+    max_size=200,
+).map(lambda s: "https://vbpl.vn/" + s.replace("\r", "").replace("\n", ""))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10**12 - 1), _urls, _payloads),
+                min_size=1, max_size=20))
+def test_warc_segment_roundtrip_any_payload(recs):
+    from vbpl_web_crawl_spark.sources.warc import (
+        build_record,
+        parse_segment,
+        record_length,
+    )
+
+    blob = b""
+    offsets = []
+    for doc_id, url, payload in recs:
+        offsets.append(len(blob))
+        rec = build_record(doc_id, url, payload)
+        assert len(rec) == record_length(url, len(payload))
+        blob += rec
+    out = parse_segment(blob)
+    assert [(r["doc_id"], r["url"], r["payload"]) for r in out] == [
+        (d, u, p) for d, u, p in recs
+    ]
+    assert [r["offset"] for r in out] == offsets
+    assert sum(r["record_len"] for r in out) == len(blob)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=1, max_size=512), st.integers(0, 10**6))
+def test_warc_single_bitflip_never_parses_clean(payload, flip_seed):
+    """Any single byte flip inside the payload region must RAISE
+    (digest mismatch) — corrupted archives never decode silently."""
+    import pytest as _pytest
+
+    from vbpl_web_crawl_spark.sources.warc import build_record, parse_segment
+
+    url = "https://vbpl.vn/doc/1"
+    rec = bytearray(build_record(1, url, payload))
+    # payload occupies the len(payload)+4 tail minus separator
+    pos = len(rec) - 4 - len(payload) + (flip_seed % len(payload))
+    rec[pos] ^= 1 + (flip_seed % 255)
+    with _pytest.raises(ValueError):
+        parse_segment(bytes(rec))

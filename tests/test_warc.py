@@ -66,7 +66,16 @@ def test_corruption_raises():
 
 
 def _docs_df(spark, n=53, parts=1):
-    rows = [(i, f"https://vbpl.vn/s{i % 3}/{i}", f"body of {i} " * (i % 7 + 1)) for i in range(n)]
+    # every 9th URL carries non-ASCII path chars (Vietnamese diacritics,
+    # 2-3 UTF-8 bytes each): offsets must count header BYTES, not chars
+    rows = [
+        (
+            i,
+            f"https://vbpl.vn/s{i % 3}/{'văn-bản-' if i % 9 == 0 else ''}{i}",
+            f"body of {i} " * (i % 7 + 1),
+        )
+        for i in range(n)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, url string, text string")
     return df.repartition(parts).select(
         "doc_id", "url", F.encode("text", "utf-8").alias("payload")

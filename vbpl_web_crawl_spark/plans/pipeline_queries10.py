@@ -49,8 +49,11 @@ WITH base AS (
 ),
 rec AS (
   SELECT doc_id, url, segment, digest,
-         {FIXED_OVERHEAD} + length(url) + length(CAST(n AS VARCHAR)) + n
-           AS record_len
+         -- URI width in UTF-8 BYTES (octet_length), matching the
+         -- writer's header encoding; length() would undercount any
+         -- non-ASCII URI
+         {FIXED_OVERHEAD} + octet_length(encode(url))
+           + length(CAST(n AS VARCHAR)) + n AS record_len
   FROM base
 )
 SELECT doc_id, url, segment,

@@ -92,8 +92,13 @@ FIXED_OVERHEAD = (
 
 
 def record_length(url: str, n_payload: int) -> int:
-    """Total record bytes — the closed form the SQL oracle mirrors."""
-    return FIXED_OVERHEAD + len(url) + len(str(n_payload)) + n_payload
+    """Total record bytes — the closed form the SQL oracle mirrors.
+    The URI counts in UTF-8 BYTES (the header encoding), not
+    characters: a non-ASCII URI is wider on disk than in len() —
+    caught by the hypothesis round-trip property."""
+    return (
+        FIXED_OVERHEAD + len(url.encode("utf-8")) + len(str(n_payload)) + n_payload
+    )
 
 
 def build_record(doc_id: int, url: str, payload: bytes) -> bytes:
