@@ -398,3 +398,34 @@ def test_warc_single_bitflip_never_parses_clean(payload, flip_seed):
     rec[pos] ^= 1 + (flip_seed % 255)
     with _pytest.raises(ValueError):
         parse_segment(bytes(rec))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML (crawl/sitemaps.py) — render∘parse identity under
+# arbitrary unicode URLs (escaping + xpath entity decoding).
+# ---------------------------------------------------------------------------
+
+# XML 1.0 valid chars only (control chars other than \t\n\r are not
+# representable in XML at all); exclude \r\n which a URL never carries
+_xml_urls = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), blacklist_characters="\r\n"
+    ),
+    min_size=0,
+    max_size=80,
+).map(lambda s: "https://vbpl.vn/" + s)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_xml_urls, min_size=1, max_size=8, unique=True))
+def test_sitemap_roundtrip_any_unicode_url(spark, urls):
+    from vbpl_web_crawl_spark.crawl.sitemaps import (
+        parse_sitemaps,
+        render_sitemaps,
+    )
+
+    df = spark.createDataFrame(
+        [(u, "2026-01-01", 0.5) for u in urls], "url string, lastmod string, priority double"
+    ).selectExpr("'h' AS host", "url", "lastmod", "priority")
+    back = parse_sitemaps(render_sitemaps(df)).collect()
+    assert sorted(r["url"] for r in back) == sorted(urls)
