@@ -92,6 +92,7 @@ HEADLINE = [
     "warc_cdx_index",
     "sitemap_frontier_seed",
     "sitemap_delta_revisit",
+    "url_trap_templates",
 ]
 
 

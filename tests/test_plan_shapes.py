@@ -537,6 +537,19 @@ _BENCH_PLAN_EXPECT = {
         and n["FlatMapGroupsInPandas"] + n["MapInPandas"] == 0
         and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
     ),
+    "url_trap_templates": lambda p, n: (
+        # two pruned (doc_id, source) scans unioned, partial+final
+        # HashAggregate around (host, template)-key shuffles (the
+        # count-distinct adds its expand exchange); no joins, no
+        # windows, no Python
+        "ReadSchema: struct<doc_id:bigint,source:string>" in p
+        and n["HashAggregate"] >= 2
+        and n["Union"] == 1
+        and _shuffles(n) <= 2
+        and n["Window"] == 0
+        and n["BatchEvalPython"] + n["ArrowEvalPython"] == 0
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
     "datasource_point_page": lambda p, n: (
         # both predicates cross the pushFilters boundary into the
         # Python DataSource reader (which prunes to _MIRRORS partitions

@@ -258,3 +258,80 @@ def q_sitemap_delta_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("url").alias("min_url"),
         F.max("url").alias("max_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection: URL templating + query-explosion flags. A trap
+# (calendar pages, session ids, faceted-search grids) shows up as ONE
+# path template fanning out into unbounded query variants — the
+# classic way a frontier balloons to 10^10 "URLs" of no new content.
+# Collapse digit runs to 'N' to form the template, then per (host,
+# template) compare total URL count against distinct PATHS: a
+# variants-per-path ratio >= 10 (integer cross-multiplication) flags
+# the template, and the frontier admission gate would cap or drop it.
+# The reference has no trap defense (its universe is the fixed
+# 1000-page listing walk, app/service/vbpl.py:96-97); at open-web
+# scale this filter is what keeps the seen-set honest. Pure Catalyst
+# string ops; shuffle carries (host, template) keys only.
+# ---------------------------------------------------------------------------
+
+_TRAP_URLS_SQL = """
+  SELECT source || '.vbpl.vn' AS host,
+         '/doc/' || doc_id AS pq
+  FROM documents
+  UNION ALL
+  SELECT source || '.vbpl.vn',
+         '/calendar?y=2026&m=' || (doc_id % 12 + 1) || '&d=' || (doc_id % 28 + 1)
+  FROM documents
+"""
+
+_TRAP_SQL = f"""
+WITH u AS ({_TRAP_URLS_SQL}),
+t AS (
+  SELECT host,
+         regexp_replace(pq, '[0-9]+', 'N', 'g') AS template,
+         CASE WHEN strpos(pq, '?') > 0
+              THEN substr(pq, 1, strpos(pq, '?') - 1) ELSE pq END AS path
+  FROM u
+)
+SELECT host, template,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       count(*) >= 10 * count(DISTINCT path) AS is_trap
+FROM t GROUP BY host, template
+"""
+
+
+@_register("url_trap_templates", _TRAP_SQL)
+def q_url_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(host, template) URL counts, distinct-path counts, and the
+    variants-per-path trap flag over a universe of detail pages plus a
+    planted calendar trap."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".vbpl.vn")).alias("host")
+    detail = docs.select(
+        host, F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")).alias("pq")
+    )
+    calendar = docs.select(
+        host,
+        F.concat(
+            F.lit("/calendar?y=2026&m="),
+            (F.pmod("doc_id", F.lit(12)) + 1).cast("string"),
+            F.lit("&d="),
+            (F.pmod("doc_id", F.lit(28)) + 1).cast("string"),
+        ).alias("pq"),
+    )
+    u = detail.unionByName(calendar)
+    q_at = F.instr(F.col("pq"), "?")
+    t = u.select(
+        "host",
+        F.regexp_replace(F.col("pq"), "[0-9]+", "N").alias("template"),
+        F.when(q_at > 0, F.substring_index(F.col("pq"), "?", 1))
+        .otherwise(F.col("pq"))
+        .alias("path"),
+    )
+    return t.groupBy("host", "template").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+        (F.count(F.lit(1)) >= F.lit(10) * F.countDistinct("path")).alias("is_trap"),
+    )
