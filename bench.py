@@ -93,6 +93,21 @@ HEADLINE = [
     "sitemap_frontier_seed",
     "sitemap_delta_revisit",
     "url_trap_templates",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_value",
+    "tpch_q12_priority_classes",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
 ]
 
 

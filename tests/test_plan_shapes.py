@@ -561,6 +561,127 @@ _BENCH_PLAN_EXPECT = {
         and _shuffles(n) == 0
         and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
     ),
+    # --- TPC-H completion (tpch_queries2): shapes that must hold at
+    # 100 TB. Fact-fact joins are NOT pinned to a strategy (at
+    # sf0.001 statistics legitimately broadcast them; at scale AQE
+    # picks SMJ), but dims must broadcast, semi/anti joins must stay
+    # semi/anti (never materialize the probe side), correlated aggs
+    # must be single-shuffle, and nothing may go cartesian.
+    "tpch_q2_min_cost_supplier": lambda p, n: (
+        # region->nation->supplier spine + part list broadcast; the
+        # correlated per-part min is ONE window, not a rejoin; top-100
+        # never global-sorts
+        n["BroadcastHashJoin"] >= 3
+        and n["Window"] == 1
+        and "TakeOrderedAndProject" in p
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q4_priority_check": lambda p, n: (
+        # EXISTS stays a semi-join; date + returnflag predicates
+        # pushed to their scans
+        "LeftSemi" in p
+        and "EqualTo(l_returnflag,R)" in p
+        and "IsNotNull(o_orderdate)" in p
+    ),
+    "tpch_q6_forecast_revenue": lambda p, n: (
+        # pure pushed-scan + one global two-partial agg: no join, no
+        # shuffle beyond the single final-agg exchange
+        n["HashAggregate"] == 2
+        and _shuffles(n) == 1
+        and "IsNotNull(l_shipdate)" in p
+        and n["SortMergeJoin"] + n["BroadcastHashJoin"] + n["ShuffledHashJoin"] == 0
+    ),
+    "tpch_q7_volume_shipping": lambda p, n: (
+        # nation-pair-filtered supplier/customer dims broadcast before
+        # the fact joins; ship-date window pushed
+        n["BroadcastHashJoin"] >= 2
+        and "IsNotNull(l_shipdate)" in p
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q8_market_share": lambda p, n: (
+        # ECONOMY part list + supplier-nation dim broadcast; the
+        # region customer restriction stays a semi-join
+        n["BroadcastHashJoin"] >= 3
+        and "LeftSemi" in p
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q9_product_profit": lambda p, n: (
+        # red-part list + supplier-nation dim broadcast; profit
+        # expression evaluated inline (no Python)
+        n["BroadcastHashJoin"] >= 2
+        and n["BatchEvalPython"] + n["ArrowEvalPython"] == 0
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q11_important_value": lambda p, n: (
+        # nation-filtered supplier set semi-joins the fact; the group
+        # total is a one-row broadcast (the only nested-loop allowed);
+        # top-200 never global-sorts
+        "LeftSemi" in p
+        and n["BroadcastNestedLoopJoin"] <= 1
+        and "TakeOrderedAndProject" in p
+    ),
+    "tpch_q12_priority_classes": lambda p, n: (
+        # ship-date window pushed to the fact scan; the cross-table
+        # lateness predicate is a post-join filter, never a nested loop
+        "IsNotNull(l_shipdate)" in p
+        and n["BroadcastNestedLoopJoin"] + n["CartesianProduct"] == 0
+        and n["HashAggregate"] >= 2
+    ),
+    "tpch_q13_order_distribution": lambda p, n: (
+        # left-outer with the exclusion INSIDE the join condition,
+        # then two aggregation levels (per-customer -> histogram)
+        "LeftOuter" in p
+        and n["HashAggregate"] >= 3
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q15_top_supplier": lambda p, n: (
+        # quarter window pushed; max-revenue threshold is a one-row
+        # broadcast; supplier dim broadcast
+        "IsNotNull(l_shipdate)" in p
+        and n["BroadcastNestedLoopJoin"] <= 1
+        and n["BroadcastHashJoin"] >= 1
+    ),
+    "tpch_q16_supplier_counts": lambda p, n: (
+        # part-attribute list broadcast; flagged suppliers excluded by
+        # an ANTI join (never a NOT IN materialization); distinct
+        # count adds its expand agg
+        "LeftAnti" in p
+        and n["BroadcastHashJoin"] >= 2
+        and n["HashAggregate"] >= 3
+        and "TakeOrderedAndProject" in p
+    ),
+    "tpch_q17_small_quantity": lambda p, n: (
+        # brand filter pushed to the part scan; the correlated
+        # per-part avg is one extra agg + broadcast join, not a
+        # per-row subquery
+        "EqualTo(p_brand,Brand#23)" in p
+        and n["BroadcastHashJoin"] >= 2
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q20_part_promotion": lambda p, n: (
+        # color-prefix part list broadcast; the HAVING threshold runs
+        # on the suppkey pre-agg BEFORE the supplier join, so only
+        # qualifying suppliers' rows leave the agg
+        n["BroadcastHashJoin"] >= 3
+        and "IsNotNull(l_shipdate)" in p
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q21_waiting_suppliers": lambda p, n: (
+        # the exists/not-exists pair is ONE per-orderkey profile agg
+        # joined back (no second semi/anti pass over the fact); the
+        # finished-orders restriction stays a semi-join
+        "LeftSemi" in p
+        and n["HashAggregate"] >= 4
+        and "TakeOrderedAndProject" in p
+        and n["BroadcastNestedLoopJoin"] == 0
+    ),
+    "tpch_q22_sales_opportunity": lambda p, n: (
+        # balance stats are a one-row broadcast; the no-recent-orders
+        # probe stays an ANTI join; nation-list predicate pushed
+        "LeftAnti" in p
+        and n["BroadcastNestedLoopJoin"] <= 1
+        and "In(c_nationkey" in p
+    ),
 }
 
 

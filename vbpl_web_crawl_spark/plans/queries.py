@@ -623,6 +623,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries10,
         profiling_queries,
         tpch_queries,
+        tpch_queries2,
     )
 
     return dict(QUERIES)
@@ -645,6 +646,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries10,
         profiling_queries,
         tpch_queries,
+        tpch_queries2,
     )
 
     out: dict[str, str] = {}
