@@ -1,0 +1,128 @@
+"""Distributed suffix ranking by prefix doubling — the exact-substring
+dedup machinery of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better"), re-expressed for Spark.
+
+A suffix array over the concatenated corpus is how the reference
+technique finds byte-identical spans without quadratic comparisons.
+Single-node constructions (SA-IS, DC3) are pointer-chasing algorithms
+that do not distribute; the classic distributed formulation is
+prefix doubling (Manber-Myers; Flick & Aluru's MPI variant): after
+round i every suffix holds the dense rank of its first 2^i characters,
+and round i+1 re-ranks by the pair (rank[pos], rank[pos + 2^i]) — the
+rank of the first 2^(i+1) characters. log2(cap) rounds total.
+
+Spark mapping — every step is a built-in relational op:
+
+- base ranks: one ``posexplode(split(text, ''))`` producing
+  (doc_id, pos, codepoint); the ASCII/codepoint value IS the depth-1
+  rank key (order-preserving, no ranking job needed).
+- rank[pos + k] without a self-join: positions are dense per doc, so
+  ``lead(rank, k) OVER (PARTITION BY doc_id ORDER BY pos)`` delivers
+  the partner rank with one doc-keyed shuffle. Missing partner
+  (suffix shorter than 2k) maps to -1, which sorts BEFORE every real
+  rank — exactly the "shorter string that is a prefix sorts first"
+  rule of string comparison.
+- dense re-rank of pairs: ``global_sequence`` (operators/sequence.py)
+  over the DISTINCT (r1, r2) pairs — distinct pairs are unique, so
+  row_number == dense_rank — then a hash join maps every position to
+  its new rank. No single-task global window anywhere.
+
+Scale: every round is (window shuffle on doc_id) + (distinct shuffle
+on the 16-byte pair) + (range-partitioned sequence over <= N pairs) +
+(pair-key join). Rounds are log2(cap); state per row is 3 longs —
+document text never moves after the base explode. Rounds stop early
+once all ranks are distinct (every suffix separated — the common case
+long before depth cap on natural text).
+
+``cap`` bounds the ranking depth: ranks group suffixes by their first
+``cap`` characters (ties beyond that depth stay tied, matching
+``substr(text, pos+1, cap)`` comparison semantics). Exact-substring
+dedup needs depth = the minimum duplicated-span length, not full
+suffix order, so a small power-of-two cap is the working
+configuration, and it keeps the round count fixed.
+
+Reference analog: /root/reference stores raw page text with no dedup
+(app/service/vbpl.py upserts overwrite by id); this operator is the
+corpus-hygiene pass a training pipeline runs over the crawl output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from vbpl_web_crawl_spark.operators.sequence import global_sequence
+
+
+def suffix_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, c) for every character position; empty documents
+    contribute no positions (split('', '') yields [''], which the
+    empty-token guard drops — matching generate_series(1, 0))."""
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c")
+        )
+        .filter(F.col("c") != "")
+    )
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    cap: int = 64,
+    text_col: str = "text",
+    early_stop: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, rank): dense rank (1-based) of every suffix among
+    ALL suffixes of the corpus, ordered by the first ``cap``
+    characters (binary/codepoint order; suffixes equal through
+    ``cap`` share a rank). Equal to
+    ``dense_rank() OVER (ORDER BY substr(text, pos+1, cap))``.
+
+    ``cap`` must be a power of two (the doubling schedule).
+    """
+    if cap < 2 or cap & (cap - 1):
+        # cap 1 would return raw codepoints (ordered but not dense)
+        raise ValueError(f"cap must be a power of two >= 2, got {cap}")
+    spark = docs.sparkSession
+
+    # depth-1 ranks: the codepoint is already a dense-enough ordinal
+    # key (order-preserving); ranks only need ORDER, not density,
+    # until the caller-visible final re-rank below
+    cur = suffix_positions(docs, text_col).select(
+        "doc_id", "pos", F.ascii("c").cast("long").alias("rank")
+    )
+    cur = cur.localCheckpoint(eager=True)
+    n_total = cur.count() if early_stop else None
+
+    k = 1
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    while k < cap:
+        paired = cur.withColumn(
+            "r2", F.coalesce(F.lead("rank", k).over(w), F.lit(-1))
+        )
+        pairs = paired.select("rank", "r2").distinct()
+        caches: list = []
+        ranked_pairs = global_sequence(
+            pairs, ["rank", "r2"], seq_col="new_rank", start=1, caches=caches
+        ).withColumnRenamed("rank", "r1")
+        nxt = (
+            paired.join(
+                ranked_pairs,
+                (paired.rank == ranked_pairs.r1) & (paired.r2 == ranked_pairs.r2),
+            )
+            .select("doc_id", "pos", F.col("new_rank").alias("rank"))
+        )
+        # truncate lineage each round (iterative plans otherwise grow
+        # exponentially in analysis cost) and free the sequencer cache
+        nxt = nxt.localCheckpoint(eager=True)
+        for c in caches:
+            c.unpersist()
+        cur = nxt
+        k *= 2
+        if early_stop and k < cap:
+            # all suffixes separated -> further rounds are identity
+            n_ranks = cur.agg(F.countDistinct("rank")).first()[0]
+            if n_ranks == n_total:
+                break
+    return cur

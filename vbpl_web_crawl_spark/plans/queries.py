@@ -621,6 +621,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries8,
         pipeline_queries9,
         pipeline_queries10,
+        pipeline_queries11,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
@@ -644,6 +645,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries8,
         pipeline_queries9,
         pipeline_queries10,
+        pipeline_queries11,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
