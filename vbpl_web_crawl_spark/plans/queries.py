@@ -622,6 +622,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries9,
         pipeline_queries10,
         pipeline_queries11,
+        pipeline_queries12,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
@@ -646,6 +647,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries9,
         pipeline_queries10,
         pipeline_queries11,
+        pipeline_queries12,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
