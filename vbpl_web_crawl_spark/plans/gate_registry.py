@@ -61,7 +61,7 @@ SUBSUMED: dict[str, tuple[str, str]] = {
 }
 
 
-def _rotation_key(name: str, idx: int) -> tuple[int, int, int]:
+def _rotation_key(name: str, idx: int) -> tuple[int, int, int, int]:
     from vbpl_web_crawl_spark.plans.gate_order_data import BOOST, LAST_GREEN
 
     last = LAST_GREEN.get(name, 0)
@@ -71,7 +71,11 @@ def _rotation_key(name: str, idx: int) -> tuple[int, int, int]:
         tier = 1  # semantics changed this round: re-verify next
     else:
         tier = 2  # stalest-first
-    return (tier, last, idx)
+    # within the never-verified tier, BOOST breaks the tie: when more
+    # than WINDOW gates have never earned a driver row, the boosted
+    # (newest / highest-novelty) ones must not be starved by earlier
+    # registration order
+    return (tier, 0 if name in BOOST else 1, last, idx)
 
 
 def gate_order(full_names: list[str]) -> list[str]:
