@@ -55,6 +55,69 @@ from pyspark.sql import Window
 from vbpl_web_crawl_spark.operators.sequence import global_sequence
 
 
+def remove_dup_spans(docs: DataFrame, cap: int, text_col: str = "text") -> DataFrame:
+    """Exact-substring duplicate SPAN REMOVAL (Lee et al. 2022 §4):
+    cut from every document each span whose first ``cap`` characters
+    recur in ANOTHER document.
+
+    Returns (doc_id, n_spans, removed_chars, retained_chars, cleaned)
+    — ``cleaned`` is the document text with every duplicated span
+    excised; ``n_spans`` counts merged (non-overlapping) intervals.
+
+    Pipeline: suffix_ranks gives each position an 8-byte equality
+    class for its first ``cap`` chars; classes spanning >= 2 docs mark
+    span starts; starts merge to intervals per doc (gaps-and-islands,
+    one doc-keyed window); the cleaned text is rebuilt JVM-side with a
+    Catalyst ``aggregate`` fold over the interval array — no Python
+    anywhere, and no per-character rows past the ranker."""
+    docs = docs.select("doc_id", F.col(text_col).alias("text"))
+    lens = docs.select("doc_id", F.length("text").alias("len"))
+    ranks = suffix_ranks(docs, cap=cap)
+    cls = ranks.groupBy("rank").agg(F.countDistinct("doc_id").alias("nd"))
+    spans = (
+        ranks.join(cls.filter(F.col("nd") >= 2).select("rank"), "rank")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("s"),
+            F.least(F.col("pos") + 1 + cap, F.col("len") + 1).alias("e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        spans.withColumn(
+            "brk", (F.col("s") > F.coalesce(prev_max_e, F.lit(0))).cast("int")
+        )
+        .withColumn(
+            "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+    )
+    out = docs.join(ivs, "doc_id", "left").withColumn(
+        "ivs",
+        F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    cleaned = F.expr(
+        "aggregate(ivs, struct(0 AS p, '' AS acc), "
+        "  (a, iv) -> struct(iv.e - 1 AS p, "
+        "              concat(a.acc, substr(text, a.p + 1, iv.s - 1 - a.p)) AS acc), "
+        "  a -> concat(a.acc, substr(text, a.p + 1, length(text) - a.p)))"
+    )
+    removed = F.expr("aggregate(ivs, 0, (a, iv) -> a + iv.e - iv.s)")
+    return out.select(
+        "doc_id",
+        F.size("ivs").cast("long").alias("n_spans"),
+        removed.cast("long").alias("removed_chars"),
+        (F.length("text") - removed).cast("long").alias("retained_chars"),
+        cleaned.alias("cleaned"),
+    )
+
+
 def suffix_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pos, c) for every character position; empty documents
     contribute no positions (split('', '') yields [''], which the

@@ -102,56 +102,17 @@ LEFT JOIN agg USING (doc_id)
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cut every cross-document duplicated span ({cap}-char classes)
     out of every document; emit per-doc span/char counts + the md5 of
-    the cleaned text (rebuilt with a Catalyst aggregate fold — no
-    Python, no per-character rows past the ranker)."""
-    from vbpl_web_crawl_spark.operators.suffix import suffix_ranks
+    the cleaned text (operators/suffix.py remove_dup_spans)."""
+    from vbpl_web_crawl_spark.operators.suffix import remove_dup_spans
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lens = docs.select("doc_id", F.length("text").alias("len"))
-
-    ranks = suffix_ranks(docs, cap=_SPAN_CAP)
-    cls = ranks.groupBy("rank").agg(F.countDistinct("doc_id").alias("nd"))
-    spans = (
-        ranks.join(cls.filter(F.col("nd") >= 2).select("rank"), "rank")
-        .join(lens, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("pos") + 1).alias("s"),
-            F.least(F.col("pos") + 1 + _SPAN_CAP, F.col("len") + 1).alias("e"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    merged = (
-        spans.withColumn(
-            "brk", (F.col("s") > F.coalesce(prev_max_e, F.lit(0))).cast("int")
-        )
-        .withColumn(
-            "g",
-            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
-    ivs = merged.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
-    )
-    out = docs.join(ivs, "doc_id", "left").withColumn(
-        "ivs", F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>"))
-    )
-    cleaned = F.expr(
-        "aggregate(ivs, struct(0 AS p, '' AS acc), "
-        "  (a, iv) -> struct(iv.e - 1 AS p, "
-        "              concat(a.acc, substr(text, a.p + 1, iv.s - 1 - a.p)) AS acc), "
-        "  a -> concat(a.acc, substr(text, a.p + 1, length(text) - a.p)))"
-    )
-    removed = F.expr("aggregate(ivs, 0, (a, iv) -> a + iv.e - iv.s)")
-    return out.select(
+    res = remove_dup_spans(docs, cap=_SPAN_CAP)
+    return res.select(
         "doc_id",
-        F.size("ivs").cast("long").alias("n_spans"),
-        removed.cast("long").alias("removed_chars"),
-        (F.length("text") - removed).cast("long").alias("retained_chars"),
-        F.md5(cleaned).alias("cleaned_md5"),
+        "n_spans",
+        "removed_chars",
+        "retained_chars",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
     )
 
 
