@@ -618,15 +618,22 @@ def sssp(
     returning partially relaxed distances. All arithmetic is int64:
     bit-identical at any partitioning, no float drift.
     """
+    # Repartition by u FIRST, then dedup parallel edges by (u, v):
+    # hash(u) clustering satisfies the (u, v) group-by's distribution
+    # requirement (all rows of a (u, v) group share a u), so Catalyst
+    # plans the min-agg WITHOUT a second exchange and the persisted
+    # table keeps exactly the hash(u) partitioning every relaxation
+    # join reuses. One shuffle of the raw edge list total, vs two for
+    # the naive groupBy-then-repartition order.
     e = (
         edges.select(
             F.col(src).alias("u"),
             F.col(dst).alias("v"),
             F.col(weight).cast("long").alias("w"),
         )
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
         .persist()
     )
     dist = (

@@ -171,16 +171,23 @@ def q_sssp_copurchase_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weighted co-purchase graph (operators/graph.py::sssp)."""
     from vbpl_web_crawl_spark.operators.graph import sssp
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    r = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b")
+    # Pair generation WITHOUT a self-join: collect each order's part
+    # set once (one shuffle on the 8-byte order key, map-side partial
+    # collect_set), then emit the a<b combinations narrow via
+    # posexplode + slice over the sorted array. Group sizes are
+    # bounded by items-per-order (~7 at any TPC-H scale), so the
+    # per-row array work is O(k^2) with tiny k — no 2x scan + equi-join
+    # shuffle of the full lineitem table as the join formulation needs.
+    # Cross-order duplicate pairs are NOT deduped here; sssp()'s own
+    # (u, v) min-agg collapses them in the same shuffle it already
+    # pays for parallel-edge dedup (one fewer exchange).
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    pe = (
-        li.join(r, (li.l_orderkey == F.col("ok2")) & (li.l_partkey < F.col("b")))
-        .select(F.col("l_partkey").alias("a"), "b")
-        .distinct()
+    pe = parts.select(F.posexplode("ps").alias("i", "a"), "ps").select(
+        "a",
+        F.explode(F.slice(F.col("ps"), F.col("i") + 2, F.size("ps"))).alias("b"),
     )
     edges = pe.select(
         F.explode(
