@@ -37,6 +37,7 @@ def global_sequence(
     num_partitions: int | None = None,
     approx_rows: int | None = None,
     caches: list | None = None,
+    total_out: list | None = None,
 ) -> DataFrame:
     """Append ``seq_col`` = dense global rank (start, start+1, ...) in
     ``sort_cols`` order, without a single-task global window.
@@ -50,11 +51,19 @@ def global_sequence(
     downstream read). Pass ``caches`` (a list) to receive it for
     unpersisting once the output is consumed; with ``caches=None`` the
     cache lives until the caller clears it.
+
+    Pass ``total_out`` (a list) to receive the input's exact row count
+    as a free by-product: the large path already collects per-partition
+    sizes to build the offset map, so the total costs nothing extra —
+    iterative callers (suffix doubling) use it as their convergence
+    check instead of paying a separate countDistinct job.
     """
     if approx_rows is not None and approx_rows <= SMALL_INPUT_THRESHOLD:
         from pyspark.sql import Window
 
         w = Window.orderBy(*sort_cols)
+        if total_out is not None:
+            total_out.append(df.count())
         return df.withColumn(
             seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long")
         )
@@ -76,6 +85,8 @@ def global_sequence(
         caches.append(ranged)
     counts = ranged.groupBy("__pid").count().collect()
     sizes = {r["__pid"]: r["count"] for r in counts}
+    if total_out is not None:
+        total_out.append(sum(sizes.values()))
     offsets = {}
     acc = start
     for pid in sorted(sizes):

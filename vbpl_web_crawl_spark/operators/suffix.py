@@ -14,8 +14,11 @@ rank of the first 2^(i+1) characters. log2(cap) rounds total.
 Spark mapping — every step is a built-in relational op:
 
 - base ranks: one ``posexplode(split(text, ''))`` producing
-  (doc_id, pos, codepoint); the ASCII/codepoint value IS the depth-1
-  rank key (order-preserving, no ranking job needed).
+  (doc_id, pos, codepoint), then the first d codepoints packed into
+  one int64 as fixed-width bit fields (width = observed max codepoint;
+  Flick & Aluru likewise seed the doubling with whole machine words) —
+  an order-preserving depth-d key with no ranking job; ASCII corpora
+  start at depth 8, halving the round count vs a depth-1 start.
 - rank[pos + k] without a self-join: positions are dense per doc, so
   ``lead(rank, k) OVER (PARTITION BY doc_id ORDER BY pos)`` delivers
   the partner rank with one doc-keyed shuffle. Missing partner
@@ -147,27 +150,58 @@ def suffix_ranks(
     if cap < 2 or cap & (cap - 1):
         # cap 1 would return raw codepoints (ordered but not dense)
         raise ValueError(f"cap must be a power of two >= 2, got {cap}")
-    spark = docs.sparkSession
 
-    # depth-1 ranks: the codepoint is already a dense-enough ordinal
-    # key (order-preserving); ranks only need ORDER, not density,
-    # until the caller-visible final re-rank below
-    cur = suffix_positions(docs, text_col).select(
+    chars = suffix_positions(docs, text_col).select(
         "doc_id", "pos", F.ascii("c").cast("long").alias("rank")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    # Packed k-mer base ranks (Flick & Aluru start doubling from whole
+    # machine words, not single characters): when every codepoint fits
+    # ``bits`` bits and none is 0, the first d codepoints pack into one
+    # int64 as d fixed-width fields — an order-preserving depth-d
+    # ordinal for free, with 0-padding past the suffix end sorting
+    # shorter prefixes first (real codepoints are >= 1). ASCII text
+    # packs d = 8, so cap 64 runs 3 doubling rounds instead of 6; the
+    # width derives from the OBSERVED codepoint range, so any alphabet
+    # degrades gracefully (astral-plane text packs d = 2; a codepoint 0
+    # anywhere falls back to the unpacked depth-1 base). d stays a
+    # power of two so the doubling schedule lands exactly on ``cap``.
+    mm = chars.agg(F.min("rank").alias("mn"), F.max("rank").alias("mx")).first()
+    d, bits = 1, 0
+    if mm["mn"] is not None and mm["mn"] >= 1:
+        bits = int(mm["mx"]).bit_length()
+        m = min(63 // bits, cap)
+        while d * 2 <= m:
+            d *= 2
+    if d > 1:
+        packed = F.col("rank")
+        for j in range(1, d):
+            packed = packed * (1 << bits) + F.coalesce(
+                F.lead("rank", j).over(w), F.lit(0)
+            )
+        cur = chars.select("doc_id", "pos", packed.alias("rank"))
+    else:
+        cur = chars
     cur = cur.localCheckpoint(eager=True)
     n_total = cur.count() if early_stop else None
 
-    k = 1
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    k = d
+    dense = False
     while k < cap:
         paired = cur.withColumn(
             "r2", F.coalesce(F.lead("rank", k).over(w), F.lit(-1))
         )
         pairs = paired.select("rank", "r2").distinct()
         caches: list = []
+        totals: list = []
         ranked_pairs = global_sequence(
-            pairs, ["rank", "r2"], seq_col="new_rank", start=1, caches=caches
+            pairs,
+            ["rank", "r2"],
+            seq_col="new_rank",
+            start=1,
+            caches=caches,
+            total_out=totals,
         ).withColumnRenamed("rank", "r1")
         nxt = (
             paired.join(
@@ -182,10 +216,29 @@ def suffix_ranks(
         for c in caches:
             c.unpersist()
         cur = nxt
+        dense = True
         k *= 2
         if early_stop and k < cap:
-            # all suffixes separated -> further rounds are identity
-            n_ranks = cur.agg(F.countDistinct("rank")).first()[0]
-            if n_ranks == n_total:
+            # all suffixes separated -> further rounds are identity.
+            # The distinct-pair count IS the post-round distinct-rank
+            # count, and the sequencer already collected it per
+            # partition — the check costs no extra job.
+            if totals and totals[0] == n_total:
                 break
+    if not dense:
+        # the packed base alone reached depth ``cap`` (d == cap):
+        # ordinals are order-correct but sparse — one densify pass
+        keys = cur.select("rank").distinct()
+        caches = []
+        rk = global_sequence(
+            keys, ["rank"], seq_col="new_rank", start=1, caches=caches
+        ).withColumnRenamed("rank", "r1")
+        out = (
+            cur.join(rk, cur.rank == rk.r1)
+            .select("doc_id", "pos", F.col("new_rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        for c in caches:
+            c.unpersist()
+        cur = out
     return cur
