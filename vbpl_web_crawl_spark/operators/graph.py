@@ -218,10 +218,15 @@ def bfs_layers(
     admission (operators/seen.py) in exact form — at 10^10 nodes the
     sketch replaces the anti-join; here exactness gives the oracle.
     """
+    # repartition by u FIRST, then dedup: hash(u) clustering satisfies
+    # the (u, v) distinct's distribution requirement, so Catalyst plans
+    # it with no second exchange AND the persisted table keeps exactly
+    # the hash(u) layout every expansion join reuses (same one-shuffle
+    # edge prep as sssp below)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
         .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
+        .distinct()
         .persist()
     )
     visited = (
@@ -596,26 +601,28 @@ def sssp(
     special case of this, /root/reference/app/service/vbpl.py crawl
     loop).
 
-    Scale design: Bellman-Ford as driver-coordinated relaxation
-    rounds. Each relaxation is ONE equi-join of the current distance
-    table against the edge table (hash-partitioned by src once,
-    persisted) and ONE min-aggregation on 8-byte keys;
-    bodies/attributes never move. Convergence is detected from a
-    (count, sum) signature of the distance table — min-relaxation is
-    monotone (node count only grows, each node's dist only shrinks),
-    so an unchanged signature is a global fixpoint, costing one tiny
-    aggregate instead of a change-detection join; monotonicity
-    composes, so the check stays valid across any number of chained
-    relaxations. TWO relaxations run per driver barrier (relaxation
-    doubling): on a cluster every barrier is a full job submission +
-    checkpoint + driver sync, so halving the barrier count halves the
-    fixed coordination cost at the price of at most ONE wasted
-    relaxation past the fixpoint (relaxing a fixpoint is the
-    identity). Distance tables are localCheckpoint'ed per barrier to
-    keep plans flat. ``max_rounds`` counts RELAXATIONS: rounds needed
-    = shortest-path hop radius from the seeds (NOT node count), small
-    for web-shaped graphs; RAISES on exhaustion rather than
-    returning partially relaxed distances. All arithmetic is int64:
+    Scale design: FRONTIER (delta) Bellman-Ford as driver-coordinated
+    relaxation rounds — the Pregel formulation. Each relaxation joins
+    the edge table (hash-partitioned by src once, persisted) against
+    only the FRONTIER — the nodes whose distance improved last round —
+    not the full distance table; a full-table relaxation re-derives
+    every already-settled edge every round, paying O(|E|) per round,
+    while the frontier shrinks geometrically once the expansion phase
+    ends, so late rounds cost only the few still-improving arcs. The
+    candidate rows then fold into the distance table through ONE
+    min-aggregation on 8-byte keys over (old ∪ stepped) rows tagged
+    by origin, which yields the merged distance AND the old distance
+    in the same shuffle — the next frontier is the free filter
+    ``old IS NULL OR new < old`` on that grouped frame, and
+    convergence is simply an EMPTY frontier (one count on the
+    checkpointed frame; no change-detection join, no signature
+    arithmetic). Bodies/attributes never move. The grouped frame is
+    localCheckpoint'ed per barrier to keep plans flat; distance and
+    frontier are both cheap projections of it, so one materialization
+    serves both. ``max_rounds`` counts RELAXATIONS: rounds needed =
+    shortest-path hop radius from the seeds (NOT node count), small
+    for web-shaped graphs; RAISES on exhaustion rather than returning
+    partially relaxed distances. All arithmetic is int64:
     bit-identical at any partitioning, no float drift.
     """
     # Repartition by u FIRST, then dedup parallel edges by (u, v):
@@ -642,40 +649,36 @@ def sssp(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    sig = dist.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-    ).collect()[0]
-    signature = (sig["n"], sig["s"] or 0)
+    frontier = dist  # seeds: every node's dist just "improved" from ∞
 
-    def _relax(d: DataFrame) -> DataFrame:
-        stepped = e.join(d, e.u == d.node).select(
+    def _relax(d: DataFrame, front: DataFrame) -> DataFrame:
+        # candidates from frontier arcs only, folded against the full
+        # distance table in ONE tagged min-agg: nd = merged distance,
+        # od = pre-round distance (NULL for newly reached nodes)
+        stepped = e.join(front, e.u == front.node).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
         return (
-            d.unionByName(stepped)
+            d.withColumn("is_old", F.lit(1))
+            .unionByName(stepped.withColumn("is_old", F.lit(0)))
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("nd"),
+                F.min(F.when(F.col("is_old") == 1, F.col("dist"))).alias("od"),
+            )
         )
 
     rounds_left = max_rounds
     while rounds_left > 0:
-        # relaxation doubling: chain up to 2 lazy relaxations into one
-        # job, then a single checkpoint + signature barrier
-        nxt = _relax(dist)
+        g = _relax(dist, frontier).localCheckpoint(eager=True)
         rounds_left -= 1
-        if rounds_left > 0:
-            nxt = _relax(nxt)
-            rounds_left -= 1
-        nxt = nxt.localCheckpoint(eager=True)
-        sig = nxt.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-        ).collect()[0]
-        nxt_signature = (sig["n"], sig["s"] or 0)
-        dist = nxt
-        if nxt_signature == signature:
+        dist = g.select("node", F.col("nd").alias("dist"))
+        frontier = g.filter(
+            F.col("od").isNull() | (F.col("nd") < F.col("od"))
+        ).select("node", F.col("nd").alias("dist"))
+        if frontier.count() == 0:  # fixpoint: nothing improved
             e.unpersist()
             return dist
-        signature = nxt_signature
     e.unpersist()
     raise RuntimeError(
         f"sssp did not converge within {max_rounds} relaxation rounds — "
