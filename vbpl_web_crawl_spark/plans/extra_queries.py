@@ -426,11 +426,33 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("streaming_first_seen_dedup", None)
+@_register(
+    "streaming_first_seen_dedup",
+    """
+WITH h AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 64 AS url_hash
+  FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 's'), 1, 8))
+             AS BIGINT) % 100 < 6
+)
+SELECT CAST(url_hash % 8 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_first_seen,
+       min(url_hash) AS min_hash,
+       max(url_hash) AS max_hash
+FROM h GROUP BY url_hash % 8 ORDER BY bucket
+""",
+)
 def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): the
     crawl's unseen gate as a continuous stream — three micro-batches of
-    events rows, each hash emitted exactly once (streaming/stateful.py)."""
+    events rows, each hash emitted exactly once (streaming/stateful.py).
+    The synthetic keys use the md5-prefix derivation (not xxhash64) so
+    DuckDB can reconstruct the exact input universe: the oracle is
+    "distinct hashes of the union of the three nested micro-batch
+    slices, bucketed" — any double-emission or dropped admission across
+    micro-batch state carry-over breaks the per-bucket counts."""
     import os
     import tempfile
 
@@ -446,10 +468,23 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("url", T.StringType(), True),
         ]
     )
+
+    def _md5_lane(col, salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
     rows = events.select(
-        F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("url_hash"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 64
+        ).alias("url_hash"),
         F.col("event_type").alias("url"),
-        F.pmod(F.xxhash64("event_id"), F.lit(100)).alias("slice"),
+        (_md5_lane(F.col("event_id"), "s") % 100).alias("slice"),
     )
     src = tempfile.mkdtemp(prefix="fs_gate_src_")
     # three deterministic nested subsets -> overlapping micro-batches
@@ -460,10 +495,15 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_first_seen(
         spark, src, src_schema, n_buckets=8, query_name=f"fs_gate_{os.getpid()}"
     )
-    return out.select("bucket", "url_hash").orderBy("url_hash").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_first_seen"),
-        F.min("url_hash").alias("min_hash"),
-        F.max("url_hash").alias("max_hash"),
+    return (
+        out.select("bucket", "url_hash")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_first_seen"),
+            F.min("url_hash").alias("min_hash"),
+            F.max("url_hash").alias("max_hash"),
+        )
+        .orderBy("bucket")
     )
 
 
