@@ -623,6 +623,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries10,
         pipeline_queries11,
         pipeline_queries12,
+        pipeline_queries13,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
@@ -648,6 +649,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries10,
         pipeline_queries11,
         pipeline_queries12,
+        pipeline_queries13,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
