@@ -34,6 +34,10 @@ QUERIES = [
     "redirect_resolution_summary",
     "mirror_host_sketch_pairs",
     "sssp_copurchase_cost",
+    # miner argmax (count DESC + term tiebreak) and the postings
+    # adjacency joins must agree regardless of how the token stream
+    # was split
+    "phrase_index_search",
 ]
 
 

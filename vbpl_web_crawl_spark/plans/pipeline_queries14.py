@@ -1,0 +1,132 @@
+"""Round-5 continuation queries, part 14: positional inverted index +
+phrase search — the IR primitive the retrieval gates (bm25_topk_docs,
+tfidf_top_terms_by_source) score with but never materialize: postings
+of (term, doc, position) and an exact phrase query answered by
+adjacency joins over them.
+
+The reference crawls and stores legal-document fulltext
+(/root/reference/app/service/vbpl.py:996-1011 fulltext fetch;
+app/model/vbpl.py toan_van storage); phrase lookup over that corpus is
+the canonical downstream consumer. The gate is self-contained at any
+scale factor: stage 1 MINES the most frequent trigram in the corpus
+(deterministic tiebreak: count DESC, then the three terms ascending),
+stage 2 answers it as a phrase query through the postings — so the
+result always has matches (at least the mined occurrences) and no
+fixed probe string has to exist in the synthetic text.
+
+Scale design — why postings joins and not the lead()-window trigram
+stream used by the miner:
+
+- the MINER is a one-off O(corpus tokens) pass (the same single
+  doc-keyed window shuffle shape as the minhash shingles / pmi gates);
+  at 100 TB you run it once (or read the phrase from the user);
+- the SEARCH shuffles only df(t1)+df(t2)+df(t3) posting rows —
+  postings are filtered to the query's terms BEFORE any exchange
+  (Catalyst pushes the isin() into the explode stage), then two
+  (doc_id, pos)-keyed equi-joins align positions pos/pos+1/pos+2.
+  A window-based scan would re-shuffle EVERY corpus token per query;
+  the index path is invariant in corpus size for fixed term
+  frequencies — which is the entire point of an inverted index.
+- a persisted deployment writes the full (term, doc_id, pos) table
+  bucketed by term (operators/bucketing.py), making the per-query
+  filter a bucket-pruned scan with no shuffle at all; the gate keeps
+  the build inline so the driver's oracle can see one deterministic
+  pipeline.
+
+The one bounded driver collect is the mined 1-row trigram (the same
+fit-table pattern as the IVF centroids, operators/ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vbpl_web_crawl_spark.plans.pipeline_queries import _TOKENS_SQL, _tokens
+from vbpl_web_crawl_spark.plans.queries import _register
+from vbpl_web_crawl_spark.sources.tables import load_table
+
+_PHRASE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM base
+),
+tok AS (SELECT doc_id, i, w[i] AS t FROM pos),
+tri AS (
+  SELECT t AS w1,
+         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+         lead(t, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+  FROM tok
+),
+top AS (
+  SELECT w1, w2, w3 FROM tri
+  WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+  GROUP BY w1, w2, w3
+  ORDER BY count(*) DESC, w1 ASC, w2 ASC, w3 ASC
+  LIMIT 1
+),
+m AS (
+  SELECT a.doc_id, a.i
+  FROM tok a
+  JOIN top ON a.t = top.w1
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 AND b.t = top.w2
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2 AND c.t = top.w3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(i) AS BIGINT) AS first_pos,
+       CAST(max(i) AS BIGINT) AS last_pos,
+       (SELECT w1 || ' ' || w2 || ' ' || w3 FROM top) AS phrase
+FROM m GROUP BY doc_id
+"""
+
+
+@_register("phrase_index_search", _PHRASE_SQL)
+def q_phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine the corpus's most frequent trigram, then answer it as an
+    exact phrase query via positional-postings adjacency joins:
+    (doc_id, n_matches, first_pos, last_pos, phrase), positions
+    1-based. Only the three query terms' postings ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("p0", "t")
+    )
+    # stage 1 — miner: one doc-keyed window pass over the token stream
+    # (the shingle shape shared with the minhash/pmi gates)
+    w = Window.partitionBy("doc_id").orderBy("p0")
+    top = (
+        tok.select(
+            "t",
+            F.lead("t", 1).over(w).alias("w2"),
+            F.lead("t", 2).over(w).alias("w3"),
+        )
+        .filter(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+        .groupBy("t", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(
+            F.desc("c"), F.asc("t"), F.asc("w2"), F.asc("w3")
+        )
+        .limit(1)
+        .collect()[0]  # bounded: exactly one row (the fit-table pattern)
+    )
+    t1, t2, t3 = top["t"], top["w2"], top["w3"]
+    # stage 2 — search: postings restricted to the query terms before
+    # any shuffle; adjacency = two (doc_id, pos)-keyed equi-joins
+    p = tok.filter(F.col("t").isin(t1, t2, t3)).select(
+        "doc_id", (F.col("p0") + 1).alias("i"), "t"
+    )
+    p1 = p.filter(F.col("t") == t1).select("doc_id", "i")
+    p2 = p.filter(F.col("t") == t2).select("doc_id", (F.col("i") - 1).alias("i"))
+    p3 = p.filter(F.col("t") == t3).select("doc_id", (F.col("i") - 2).alias("i"))
+    m = p1.join(p2, ["doc_id", "i"]).join(p3, ["doc_id", "i"])
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("i").alias("first_pos"),
+            F.max("i").alias("last_pos"),
+        )
+        .withColumn("phrase", F.lit(f"{t1} {t2} {t3}"))
+    )

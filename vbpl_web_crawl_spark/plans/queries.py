@@ -624,6 +624,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries11,
         pipeline_queries12,
         pipeline_queries13,
+        pipeline_queries14,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
@@ -650,6 +651,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries11,
         pipeline_queries12,
         pipeline_queries13,
+        pipeline_queries14,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
