@@ -108,6 +108,8 @@ HEADLINE = [
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_sales_opportunity",
+    "phrase_index_search",
+    "pareto_quality_frontier",
 ]
 
 

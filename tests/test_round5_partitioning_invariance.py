@@ -38,6 +38,9 @@ QUERIES = [
     # adjacency joins must agree regardless of how the token stream
     # was split
     "phrase_index_search",
+    # per-level argmin + suffix-min dominance must not depend on how
+    # the doc stream was split
+    "pareto_quality_frontier",
 ]
 
 

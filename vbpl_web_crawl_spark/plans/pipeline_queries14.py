@@ -130,3 +130,110 @@ def q_phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("phrase", F.lit(f"{t1} {t2} {t3}"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto (skyline) document selection — the multi-criteria "best docs
+# for the budget" pick a data-selection pass makes: a document is on
+# the frontier iff no other document of its language is at least as
+# good on BOTH axes (quality higher-is-better, token cost
+# lower-is-better) and strictly better on one (Börzsönyi et al. 2001,
+# "The Skyline Operator"). Quality is the corpus's pinned 4-step score
+# (functions/text.py::quality_score, already oracle-parity-verified by
+# quality_score_histogram), scaled x4 to an exact INTEGER lane so no
+# float ever enters a comparison or the value hash.
+#
+# Scale design: dominance is NOT a self-join over documents (the naive
+# skyline is O(n^2)). Because the quality axis is discrete, the
+# frontier factors through a per-(lang, q4) argmin: (1) one
+# map-side-combinable groupBy collapses the corpus to <= 5 levels per
+# language; (2) a ROWS-frame suffix-min over that TINY level table
+# marks levels dominated by a higher-quality level with <= tokens;
+# (3) one broadcast join back tags each doc. Document bodies stream
+# through exactly one aggregate; nothing quadratic anywhere. With a
+# continuous quality axis the same shape holds after bucketing (the
+# standard block-skyline refinement).
+# ---------------------------------------------------------------------------
+
+_NTOK_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END"
+_Q4_SQL = f"""(CASE WHEN ({_NTOK_SQL}) BETWEEN 10 AND 5000 THEN 2 ELSE 0 END)
+ + (CASE WHEN (CASE WHEN length(text) > 0
+          THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0.0 END) < 0.2 THEN 1 ELSE 0 END)
+ + (CASE WHEN len(list_filter({_TOKENS_SQL},
+       x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) > 0
+    THEN 1 ELSE 0 END)"""
+
+_PARETO_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS nt, {_Q4_SQL} AS q4 FROM documents
+),
+lvl AS (SELECT lang, q4, min(nt) AS min_t FROM t GROUP BY lang, q4),
+dom AS (
+  SELECT lang, q4, min_t,
+         min(min_t) OVER (PARTITION BY lang ORDER BY q4 DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+  FROM lvl
+),
+fr AS (SELECT lang, q4, min_t FROM dom WHERE m1 IS NULL OR min_t < m1)
+SELECT f.lang, CAST(f.q4 AS INTEGER) AS quality_q4,
+       CAST(f.min_t AS BIGINT) AS frontier_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(d.doc_id) AS BIGINT) AS min_doc_id,
+       CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_id
+FROM fr f JOIN t d ON d.lang = f.lang AND d.q4 = f.q4 AND d.nt = f.min_t
+GROUP BY f.lang, f.q4, f.min_t
+"""
+
+
+@_register("pareto_quality_frontier", _PARETO_SQL)
+def q_pareto_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier over (quality x4 as int, token
+    count): the undominated (quality, tokens) levels with every doc
+    sitting on them. quality_score x 4 is exact (0.25 and 0.5 are
+    binary powers), so the integer lane carries no float rounding."""
+    from vbpl_web_crawl_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count_ws(F.col("text")).cast("long").alias("nt"),
+        F.round(TX.quality_score(F.col("text")) * 4).cast("int").alias("q4"),
+    )
+    lvl = t.groupBy("lang", "q4").agg(F.min("nt").alias("min_t"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q4"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = (
+        lvl.withColumn("m1", F.min("min_t").over(w))
+        .filter(F.col("m1").isNull() | (F.col("min_t") < F.col("m1")))
+        .select("lang", "q4", "min_t")
+    )
+    fr = fr.select(
+        F.col("lang").alias("f_lang"),
+        F.col("q4").alias("f_q4"),
+        F.col("min_t").alias("min_t"),
+    )
+    return (
+        t.join(
+            F.broadcast(fr),
+            (t.lang == fr.f_lang) & (t.q4 == fr.f_q4) & (t.nt == fr.min_t),
+        )
+        .groupBy("lang", "q4", "min_t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .select(
+            "lang",
+            F.col("q4").alias("quality_q4"),
+            F.col("min_t").alias("frontier_tokens"),
+            "n_docs",
+            "min_doc_id",
+            "sum_doc_id",
+        )
+    )
