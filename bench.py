@@ -110,6 +110,7 @@ HEADLINE = [
     "tpch_q22_sales_opportunity",
     "phrase_index_search",
     "pareto_quality_frontier",
+    "rendezvous_host_assignment",
 ]
 
 

@@ -41,6 +41,8 @@ QUERIES = [
     # per-level argmin + suffix-min dominance must not depend on how
     # the doc stream was split
     "pareto_quality_frontier",
+    # packed-key argmax over the broadcast worker range
+    "rendezvous_host_assignment",
 ]
 
 

@@ -237,3 +237,130 @@ def q_pareto_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) host -> fetch-worker assignment vs
+# modulo, with the resize-movement property measured: when the fleet
+# grows W -> W+1, rendezvous reassigns ~1/(W+1) of hosts while modulo
+# reassigns ~W/(W+1) (Thaler & Ravishankar 1998). This is the sticky
+# host-affinity a politeness scheduler needs — per-host token/delay
+# state (crawl/politeness.py) survives an executor-count change only if
+# the host's worker does — and the reason that state is NOT keyed by
+# shuffle-partition modulo.
+#
+# Determinism: worker weights are the md5-prefix integer lane
+# (tests/test_md5_lane_parity.py pins the Spark<->DuckDB identity);
+# argmax tiebreak is (lane DESC, worker ASC). Everything downstream is
+# int64 counts.
+#
+# Scale: candidates = hosts x (W+1) rows with W a small constant (the
+# fleet size), built from a broadcast range — linear in hosts, one
+# host-keyed window for the argmax, no shuffle carries anything but
+# (host, worker, lane). At 10^10 hosts the same plan holds.
+# ---------------------------------------------------------------------------
+
+_RDV_W = 16
+# 14 hex chars = 56 bits, so lane * 32 + (17 - k) stays < 2^62: one
+# packed int64 ordering key with the worker-ascending tiebreak built in
+# (DuckDB's arg_max takes no composite ordering key)
+_RDV_LANE = "CAST(('0x' || substr(md5(host || ':' || k), 1, 14)) AS BIGINT)"
+_RDV_LANE0 = "CAST(('0x' || substr(md5(host), 1, 14)) AS BIGINT)"
+
+_RDV_SQL = f"""
+WITH hosts AS (
+  SELECT 'h' || o_custkey AS host, count(*) AS load FROM orders GROUP BY o_custkey
+),
+cand AS (
+  SELECT h.host, h.load, k.k,
+         ({_RDV_LANE}) * 32 + ({_RDV_W} + 1 - k.k) AS key
+  FROM hosts h CROSS JOIN range(0, {_RDV_W} + 1) k(k)
+),
+rdv AS (
+  SELECT host, load,
+         arg_max(k, key) FILTER (WHERE k < {_RDV_W}) AS a16,
+         arg_max(k, key) AS a17
+  FROM cand GROUP BY host, load
+),
+modu AS (
+  SELECT host, {_RDV_LANE0} % {_RDV_W} AS m16, {_RDV_LANE0} % ({_RDV_W} + 1) AS m17
+  FROM hosts
+),
+j AS (SELECT r.host, r.load, r.a16, r.a17, m.m16, m.m17
+      FROM rdv r JOIN modu m USING (host)),
+per AS (
+  SELECT 'rendezvous' AS method, a16 AS w, load,
+         CASE WHEN a16 <> a17 THEN 1 ELSE 0 END AS mv FROM j
+  UNION ALL
+  SELECT 'modulo', m16, load, CASE WHEN m16 <> m17 THEN 1 ELSE 0 END FROM j
+),
+wl AS (SELECT method, w, sum(load) AS wload, count(*) AS nh, sum(mv) AS mvd
+       FROM per GROUP BY method, w)
+SELECT method,
+       CAST(sum(nh) AS BIGINT) AS n_hosts,
+       CAST(sum(mvd) AS BIGINT) AS n_moved_on_resize,
+       CAST(max(wload) AS BIGINT) AS max_worker_load,
+       CAST(min(wload) AS BIGINT) AS min_worker_load,
+       CAST(sum(wload * wload) AS BIGINT) AS sum_sq_worker_load
+FROM wl GROUP BY method
+"""
+
+
+@_register("rendezvous_host_assignment", _RDV_SQL)
+def q_rendezvous_host_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every host (order-count load) to one of {w} fetch workers
+    by rendezvous hashing AND by modulo; report per-method worker-load
+    balance and how many hosts move when the fleet resizes to {w}+1."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    hosts = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("load"))
+        .select(F.concat(F.lit("h"), F.col("o_custkey")).alias("host"), "load")
+    )
+    workers = F.broadcast(
+        hosts.sparkSession.range(0, _RDV_W + 1).select(F.col("id").cast("int").alias("k"))
+    )
+    lane = F.conv(
+        F.substring(F.md5(F.concat(F.col("host"), F.lit(":"), F.col("k"))), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    key = lane * 32 + (_RDV_W + 1 - F.col("k"))
+    cand = hosts.crossJoin(workers).select("host", "load", "k", key.alias("key"))
+    rdv = cand.groupBy("host", "load").agg(
+        F.max_by(
+            F.when(F.col("k") < _RDV_W, F.col("k")),
+            F.when(F.col("k") < _RDV_W, F.col("key")),
+        ).alias("a16"),
+        F.max_by("k", F.col("key")).alias("a17"),
+    )
+    lane0 = F.conv(F.substring(F.md5(F.col("host")), 1, 14), 16, 10).cast("long")
+    modu = hosts.select(
+        "host", (lane0 % _RDV_W).alias("m16"), (lane0 % (_RDV_W + 1)).alias("m17")
+    )
+    j = rdv.join(modu, "host")
+    per = j.select(
+        F.lit("rendezvous").alias("method"),
+        F.col("a16").alias("w"),
+        "load",
+        (F.col("a16") != F.col("a17")).cast("int").alias("mv"),
+    ).unionByName(
+        j.select(
+            F.lit("modulo").alias("method"),
+            F.col("m16").cast("int").alias("w"),
+            "load",
+            (F.col("m16") != F.col("m17")).cast("int").alias("mv"),
+        )
+    )
+    wl = per.groupBy("method", "w").agg(
+        F.sum("load").alias("wload"),
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("mv").alias("mvd"),
+    )
+    return wl.groupBy("method").agg(
+        F.sum("nh").alias("n_hosts"),
+        F.sum("mvd").alias("n_moved_on_resize"),
+        F.max("wload").alias("max_worker_load"),
+        F.min("wload").alias("min_worker_load"),
+        F.sum(F.col("wload") * F.col("wload")).alias("sum_sq_worker_load"),
+    )
