@@ -682,6 +682,27 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] <= 1
         and "In(c_nationkey" in p
     ),
+    "phrase_index_search": lambda p, n: (
+        # postings filtered to the query's 3 terms BEFORE any exchange:
+        # the position-adjacency alignment joins broadcast the tiny
+        # per-term posting lists; only the final per-doc agg shuffles
+        n["BroadcastHashJoin"] >= 2
+        and _shuffles(n) <= 1
+        and n["Generate"] >= 1
+    ),
+    "pareto_quality_frontier": lambda p, n: (
+        # skyline via ONE per-lang running-max window over the bounded
+        # (lang, q4) level table — never a pairwise dominance join
+        n["Window"] == 1 and n["BroadcastHashJoin"] >= 1 and _shuffles(n) <= 3
+    ),
+    "rendezvous_host_assignment": lambda p, n: (
+        # host x worker scoring: the worker side is a broadcast
+        # Range(16/17) — a bounded BNLJ fan-out of W rows per host,
+        # NOT a host-by-host cartesian; per-method loads then union
+        n["BroadcastNestedLoopJoin"] <= 2
+        and n["Union"] == 1
+        and n["Range"] >= 1
+    ),
 }
 
 

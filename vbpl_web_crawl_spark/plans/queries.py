@@ -625,6 +625,7 @@ def get_queries() -> dict[str, QueryFn]:
         pipeline_queries12,
         pipeline_queries13,
         pipeline_queries14,
+        pipeline_queries15,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
@@ -652,6 +653,7 @@ def get_oracles() -> dict[str, str]:
         pipeline_queries12,
         pipeline_queries13,
         pipeline_queries14,
+        pipeline_queries15,
         profiling_queries,
         tpch_queries,
         tpch_queries2,
