@@ -111,6 +111,9 @@ HEADLINE = [
     "phrase_index_search",
     "pareto_quality_frontier",
     "rendezvous_host_assignment",
+    "dedup_containment_pairs",
+    "minhash_estimate_error",
+    "embedding_int8_quant_error",
 ]
 
 

@@ -703,6 +703,24 @@ _BENCH_PLAN_EXPECT = {
         and n["Union"] == 1
         and n["Range"] >= 1
     ),
+    "dedup_containment_pairs": lambda p, n: (
+        # shingle frame checkpointed once for its 3 consumers: the
+        # whole ordered-pair pipeline is 3 shuffles (common-count agg,
+        # plus the two size joins' builds are broadcast)
+        _shuffles(n) <= 3 and n["HashAggregate"] >= 4
+    ),
+    "minhash_estimate_error": lambda p, n: (
+        # sh + sig checkpointed (the naive composition re-scanned the
+        # corpus 20x); banding explode present, <=3 shuffles remain
+        _shuffles(n) <= 3 and n["Generate"] >= 1
+    ),
+    "embedding_int8_quant_error": lambda p, n: (
+        # 64-row per-dim scales table must come back as a BROADCAST
+        # join onto the exploded component stream, never a shuffle join
+        n["BroadcastHashJoin"] >= 1
+        and n["Generate"] >= 1
+        and _shuffles(n) <= 3
+    ),
 }
 
 

@@ -92,7 +92,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     section page contained in its fulltext parent scores ~1.0 in one
     direction and near-0 in the other."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = capped_shingles(docs)
+    # three consumers (sizes + both join sides): materialize once
+    sh = capped_shingles(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -179,14 +180,20 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     band collisions) land in decile 0 with j_exact = 0 via the left
     join's coalesce."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = capped_shingles(docs)
+    # the shingle frame feeds THREE consumers (signatures, and both
+    # sides of the exact-intersection join) and the signature frame
+    # two (banding, per-pair component compare): localCheckpoint each
+    # once so the corpus is scanned once, not 20 times (the naive
+    # composition's executed plan had 20 parquet scans), and blocks
+    # release with the DataFrame (q_winnow_pairs' round-4 pattern)
+    sh = capped_shingles(docs).localCheckpoint(eager=True)
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"h{i}")
             for i in range(_MINHASH_K)
         ],
-    )
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.explode(
