@@ -114,6 +114,8 @@ HEADLINE = [
     "dedup_containment_pairs",
     "minhash_estimate_error",
     "embedding_int8_quant_error",
+    "ann_ivf_recall",
+    "embedding_mean_pool_by_label",
 ]
 
 

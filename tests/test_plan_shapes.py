@@ -721,6 +721,18 @@ _BENCH_PLAN_EXPECT = {
         and n["Generate"] >= 1
         and _shuffles(n) <= 3
     ),
+    "ann_ivf_recall": lambda p, n: (
+        # both rankings are top-k (TakeOrderedAndProject), assignment
+        # checkpointed once; the overlap agg needs no shuffle at all
+        n["TakeOrderedAndProject"] >= 2 and _shuffles(n) <= 1
+    ),
+    "embedding_mean_pool_by_label": lambda p, n: (
+        # tiny per-label norms table broadcast back; two-level agg
+        # over the single dim-exploded stream
+        n["BroadcastHashJoin"] >= 1
+        and n["Generate"] >= 1
+        and _shuffles(n) <= 3
+    ),
 }
 
 

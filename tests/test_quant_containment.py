@@ -128,3 +128,51 @@ def test_quant_fidelity_floor_on_corpus(spark):
     for r in rows:
         assert r.min_cos_sim >= 0.999
         assert r.avg_linf_err <= 0.02
+
+
+def test_ann_ivf_recall_bounds_and_full_probe_identity(spark):
+    """recall in [0,1] with exact count arithmetic, and the brute
+    side is self-consistent: probing ALL lists twice must give
+    recall 1.0 by construction."""
+    from vbpl_web_crawl_spark.operators.ann import assign_to_centroids, ivf_search
+    from vbpl_web_crawl_spark.plans.pipeline_queries import _IVF_K, _ivf_centroid
+    from vbpl_web_crawl_spark.plans.pipeline_queries15 import q_ann_ivf_recall
+
+    row = q_ann_ivf_recall(spark, SF).collect()[0]
+    assert row.k == 10 and 0 <= row.n_overlap <= 10
+    assert abs(row.recall_at_10 - row.n_overlap / 10.0) < 1e-9
+    assert row.recall_at_10 >= 0.5  # hash-grid IVF at probe=6/16
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        [(c, [float(v) for v in _ivf_centroid(c)]) for c in range(_IVF_K)],
+        "cid int, centroid array<double>",
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assigned = assign_to_centroids(emb.filter(F.col("vec_id") != 0), cents)
+    full = ivf_search(assigned, cents, qv, n_probe=_IVF_K, topk=10).select("vec_id")
+    again = ivf_search(assigned, cents, qv, n_probe=_IVF_K, topk=10).select("vec_id")
+    assert full.join(again, "vec_id").count() == 10
+
+
+def test_mean_pool_is_unit_norm_and_matches_numpy(spark):
+    """Per label: sum of squared pooled_norm components == 1 (up to
+    the 4-decimal rounding), and the unrounded pooled mean matches a
+    numpy reference."""
+    from vbpl_web_crawl_spark.plans.pipeline_queries15 import q_embedding_mean_pool
+
+    rows = q_embedding_mean_pool(spark, SF).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    for label, rs in by_label.items():
+        assert len(rs) == 64
+        sq = sum(r.pooled_norm**2 for r in rs)
+        assert abs(sq - 1.0) < 1e-2  # rounding at 4 decimals x 64 dims
+        sub = np.stack(emb[emb.label == label].embedding.values).astype(float)
+        m = sub.mean(axis=0)
+        ref = m / np.sqrt((m * m).sum())
+        got = np.array([r.pooled_norm for r in sorted(rs, key=lambda r: r.dim)])
+        assert np.abs(got - ref).max() < 5e-5  # 4-decimal rounding only
+        assert all(r.n_vecs == len(sub) for r in rs)

@@ -1,5 +1,7 @@
-"""Round-5 continuation queries, part 15: three accuracy/compression
-gates the dedup + embedding pipeline was still missing —
+"""Round-5 continuation queries, part 15: accuracy/compression gates
+the dedup + embedding pipeline was still missing — asymmetric
+containment, two estimator-accuracy measurements (MinHash error curve,
+ANN IVF recall@10), int8 quantization fidelity, and mean-pooling.
 
 1. ``dedup_containment_pairs`` — ASYMMETRIC shingle containment
    C(a->b) = |Sa ∩ Sb| / |Sa|.  Jaccard misses the canonical crawl
@@ -361,4 +363,142 @@ def q_embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos_sim"), 4).alias("avg_cos_sim"),
         F.round(F.min("cos_sim"), 4).alias("min_cos_sim"),
         F.round(F.avg("linf_err"), 4).alias("avg_linf_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@10: the accuracy twin of minhash_estimate_error for the
+# vector path. Reduced-probe IVF (the deterministic hash-grid coarse
+# quantizer of ann_ivf_topk, so both engines can state the centroids
+# exactly) vs brute-force cosine top-10 — the result is the number the
+# ANN deployment decision actually reads (recall at the shipped
+# n_probe), not just the candidate lists themselves.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_sql() -> str:
+    from vbpl_web_crawl_spark.plans.pipeline_queries import (
+        _COS_SQL,
+        _IVF_K,
+        _IVF_PROBE,
+        _cents_sql,
+    )
+
+    return f"""
+WITH cents AS ({_cents_sql()}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+         (SELECT c.cid FROM cents c
+          ORDER BY {_COS_SQL.format(x='e.embedding::DOUBLE[]', y='c.centroid')} DESC,
+                   c.cid ASC
+          LIMIT 1) AS cid
+  FROM embeddings e WHERE e.vec_id <> 0
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_COS_SQL.format(x='c.centroid', y='q.qv')} DESC, c.cid ASC
+  LIMIT {_IVF_PROBE}
+),
+ivf AS (
+  SELECT a.vec_id
+  FROM assigned a JOIN probe USING (cid), q
+  ORDER BY {_COS_SQL.format(x='a.emb', y='q.qv')} DESC, a.vec_id ASC
+  LIMIT 10
+),
+brute AS (
+  SELECT a.vec_id
+  FROM assigned a, q
+  ORDER BY {_COS_SQL.format(x='a.emb', y='q.qv')} DESC, a.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST({_IVF_PROBE} AS BIGINT) AS n_probe,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / 10.0, 4) AS recall_at_10
+FROM ivf JOIN brute USING (vec_id)
+"""
+
+
+@_register("ann_ivf_recall", _ivf_recall_sql)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the reduced-probe IVF vs brute force, one row.
+
+    Both rankings run through the SAME distributed operators
+    (assign_to_centroids once — checkpointed — then ivf_search at
+    n_probe=6 and n_probe=k, the latter being exact by construction);
+    the overlap count is the deployment's accuracy number."""
+    from vbpl_web_crawl_spark.operators.ann import assign_to_centroids, ivf_search
+    from vbpl_web_crawl_spark.plans.pipeline_queries import (
+        _IVF_K,
+        _IVF_PROBE,
+        _ivf_centroid,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        [(c, [float(v) for v in _ivf_centroid(c)]) for c in range(_IVF_K)],
+        "cid int, centroid array<double>",
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assigned = assign_to_centroids(
+        emb.filter(F.col("vec_id") != 0), cents
+    ).localCheckpoint(eager=True)
+    ivf = ivf_search(assigned, cents, qv, n_probe=_IVF_PROBE, topk=10).select("vec_id")
+    brute = ivf_search(assigned, cents, qv, n_probe=_IVF_K, topk=10).select("vec_id")
+    return ivf.join(brute, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(_IVF_PROBE).cast("long").alias("n_probe"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 4).alias("recall_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mean-pooling with L2 normalization — the standard way chunk/view
+# embeddings collapse into one vector per document (here per label,
+# the corpus's grouping column). At 100 TB this is one dim-exploded
+# two-level aggregation; nothing is collected and no vector leaves
+# the JVM.
+# ---------------------------------------------------------------------------
+
+_MEAN_POOL_SQL = """
+WITH comp AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+pooled AS (
+  SELECT label, dim, avg(x) AS m, count(*) AS n_vecs FROM comp GROUP BY label, dim
+),
+norms AS (
+  SELECT label, sqrt(sum(m * m)) AS l2 FROM pooled GROUP BY label
+)
+SELECT p.label, CAST(p.dim AS BIGINT) AS dim, p.n_vecs,
+       round(p.m / n.l2, 4) AS pooled_norm
+FROM pooled p JOIN norms n USING (label)
+"""
+
+
+@_register("embedding_mean_pool_by_label", _MEAN_POOL_SQL)
+def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled, L2-normalized embedding as (label, dim)
+    rows. Two aggregations share the dim-exploded stream; the label
+    norm comes back via a broadcast join of the tiny norms table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", F.col("dim").cast("long").alias("dim"), F.col("xf").cast("double").alias("x"))
+    pooled = comp.groupBy("label", "dim").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    norms = pooled.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("l2")
+    )
+    return pooled.join(F.broadcast(norms), "label").select(
+        "label",
+        "dim",
+        "n_vecs",
+        F.round(F.col("m") / F.col("l2"), 4).alias("pooled_norm"),
     )
