@@ -151,11 +151,14 @@ est AS (
 sh AS ({_CAPPED_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 exact AS (
+  -- LEFT join + coalesce: an LSH candidate pair that shares NO
+  -- shingle (a pure band-minimum collision) must stay, with
+  -- j_exact = 0, exactly as the engine keeps it (decile 0)
   SELECT e.doc_a, e.doc_b, e.j_est,
-         CAST(cm.n_common AS DOUBLE)
-           / (sa.n_sh + sb.n_sh - cm.n_common) AS j_exact
+         coalesce(CAST(cm.n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - cm.n_common), 0.0) AS j_exact
   FROM est e
-  JOIN (
+  LEFT JOIN (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
