@@ -45,7 +45,18 @@ def main() -> int:
     from vbpl_web_crawl_spark.plans.queries import get_oracles, get_queries
     from vbpl_web_crawl_spark.session import get_spark
 
-    spark = get_spark("correctness_check", cpus=16)
+    # overridable so the robustness sweep can re-run the whole registry at
+    # an unusual parallelism (e.g. cpus=5 / shuffle=7) and prove results
+    # are partitioning-invariant — any query whose output depends on task
+    # count or partition boundaries fails loudly here before it fails at
+    # 1000 executors
+    cpus = int(os.environ.get("SPARK_GRAFT_CHECK_CPUS", "16"))
+    shuffle = os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE")
+    spark = get_spark(
+        "correctness_check",
+        cpus=cpus,
+        shuffle_partitions=int(shuffle) if shuffle else None,
+    )
     qs = get_queries()
     oracles = get_oracles()
     only = set(sys.argv[1:])
