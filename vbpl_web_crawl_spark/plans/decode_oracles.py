@@ -1,0 +1,192 @@
+"""Sequential-reference oracles for the multimodal decode gates.
+
+The four decode/feature gates (`multimodal_decode_stats`,
+`audio_feature_stats`, `video_frame_sample_stats`,
+`codec_matrix_stats`) were rows-only to the driver: their inputs are
+synthesized binary payloads, so no pre-registered parquet view can
+express them. But the corpora are pure functions of the row id, which
+means a SINGLE-THREADED reference run of the same per-item codec
+functions — no Spark, no partitions, no Arrow chunking, id order —
+reproduces every per-item feature row on the driver. Each builder here
+does that once (memoized), inlines the per-item rows as a DuckDB
+VALUES table, and expresses the gate's aggregation in SQL over it.
+
+What the comparison certifies: the DISTRIBUTED execution — partition
+assignment, Arrow batch boundaries inside mapInPandas, the two-level
+aggregation, column typing through the driver's value-hash — against a
+sequential reference, exactly the crawl gates' visit-order-vs-oracle
+pattern (crawl/oracle.py) lifted into SQL. Per-item codec correctness
+is certified independently by the pytest cross-validation suites
+(PNG/JPEG/GIF/BMP/TIFF vs ``javax.imageio`` both directions, WAV
+round-trips; tests/test_images.py, test_codecs_jvm_parity.py).
+
+Builders are lazy (plans/queries.py resolves callables at
+``get_oracles()`` time) and raise-safe: a failure downgrades that gate
+to rows-only instead of breaking the oracle dict.
+"""
+
+from __future__ import annotations
+
+_CACHE: dict[str, str] = {}
+
+
+def _values(rows: list[tuple], names: str) -> str:
+    def lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)  # full precision: same double on both sides
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS t({names})"
+
+
+def multimodal_decode_oracle() -> str:
+    """96-image corpus: per-item (fmt, mean_luma, phash_match,
+    caption_tokens) from the same synth->decode->feature functions the
+    distributed gate runs (sources/corpus.py decode_features), executed
+    sequentially in id order."""
+    if "multimodal" in _CACHE:
+        return _CACHE["multimodal"]
+    from vbpl_web_crawl_spark.sources import images as IMG
+
+    rows = []
+    for i in range(96):
+        rec = IMG.synth_image_record(f"img{i:08d}")
+        px = IMG.decode_image(rec["bytes"], rec["fmt"])
+        rows.append(
+            (
+                rec["fmt"],
+                float(px.astype("float64").mean()),
+                IMG.phash64(px) == rec["phash"],
+                len(rec["caption"].split()),
+            )
+        )
+    sql = f"""
+SELECT fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(mean_luma), 2) AS avg_luma,
+       CAST(SUM(CASE WHEN pm THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_ok,
+       ROUND(AVG(ct), 3) AS avg_caption_tokens
+FROM {_values(rows, "fmt, mean_luma, pm, ct")}
+GROUP BY fmt ORDER BY fmt
+"""
+    _CACHE["multimodal"] = sql
+    return sql
+
+
+def audio_feature_oracle() -> str:
+    """64-clip WAV corpus: per-item decode + feature extraction
+    (sources/audio.py wav_decode/audio_features/reencode), sequential."""
+    if "audio" in _CACHE:
+        return _CACHE["audio"]
+    from vbpl_web_crawl_spark.sources import audio as AUD
+
+    rows = []
+    for i in range(64):
+        rec = AUD.synth_audio_record(f"aud{i:08d}")
+        samples, rate = AUD.wav_decode(rec["bytes"])
+        feats = AUD.audio_features(samples)
+        rows.append(
+            (
+                AUD.reencode(samples, rate, rec["fmt"]) == rec["bytes"],
+                float(feats["rms"]),
+                float(feats["zcr"]),
+                samples.shape[0] / rate,
+                int(feats["peak"]),
+            )
+        )
+    sql = f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rt THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless_ok,
+       ROUND(AVG(rms), 3) AS avg_rms,
+       ROUND(AVG(zcr), 5) AS avg_zcr,
+       ROUND(AVG(dur), 4) AS avg_duration_s,
+       CAST(MAX(peak) AS INTEGER) AS max_peak
+FROM {_values(rows, "rt, rms, zcr, dur, peak")}
+"""
+    _CACHE["audio"] = sql
+    return sql
+
+
+def video_frame_oracle() -> str:
+    """24-video corpus (AVI-MJPEG + animated GIF): the same strided
+    demux-and-decode the distributed sampler runs (sources/corpus.py
+    sample_frames, stride 4), sequential; VALUES holds one row per
+    sampled frame."""
+    if "video" in _CACHE:
+        return _CACHE["video"]
+    from vbpl_web_crawl_spark.sources import jpeg as J
+    from vbpl_web_crawl_spark.sources.gif import gif_decode_frames, synth_gif_video_record
+    from vbpl_web_crawl_spark.sources.images import splitmix64
+    from vbpl_web_crawl_spark.sources.video import avi_mjpeg_demux, synth_video_record
+
+    rows = []
+    for i in range(24):
+        seed = int(splitmix64(i))
+        n_frames = 8 + seed % 25
+        vid = f"vid{i:08d}"
+        if (seed // 31) % 4 == 0:
+            rec = synth_gif_video_record(vid, n_frames)
+            frames, delays, _ = gif_decode_frames(rec["bytes"])
+            ts = [0.0]
+            for d in delays[:-1]:
+                ts.append(ts[-1] + d / 100.0)
+            for f_no in range(0, len(frames), 4):
+                px = frames[f_no]
+                rows.append((vid, float(px.astype("float64").mean()), ts[f_no]))
+        else:
+            rec = synth_video_record(vid, n_frames)
+            frames, fps, _, _ = avi_mjpeg_demux(rec["bytes"])
+            fps = fps or rec["fps"]
+            for f_no in range(0, len(frames), 4):
+                px = J.jpeg_decode(frames[f_no])
+                rows.append((vid, float(px.astype("float64").mean()), f_no / fps))
+    sql = f"""
+SELECT video_id,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       ROUND(AVG(luma), 2) AS avg_luma,
+       MAX(ts_s) AS last_ts_s
+FROM {_values(rows, "video_id, luma, ts_s")}
+GROUP BY video_id ORDER BY video_id
+"""
+    _CACHE["video"] = sql
+    return sql
+
+
+def codec_matrix_oracle() -> str:
+    """Every registered codec x 8 synthetic 64x64 scans:
+    encode -> decode -> lossless / PSNR>=40 / phash-stability flags,
+    sequential over the identical (fmt, i) grid the gate fans out."""
+    if "codec" in _CACHE:
+        return _CACHE["codec"]
+    from vbpl_web_crawl_spark.sources import images as IMG
+
+    rows = []
+    for fmt in IMG.registered_formats():
+        for i in range(8):
+            px = IMG.synth_pixels(f"cm-{fmt}-{i}")[:64, :64]
+            data = IMG.encode_image(px, fmt)
+            dec = IMG.decode_image(data, fmt)
+            rows.append(
+                (
+                    fmt,
+                    bool((dec == px).all()),
+                    bool(IMG.psnr(px, dec) >= 40.0),
+                    IMG.phash64(dec) == IMG.phash64(IMG.decode_image(data, fmt)),
+                )
+            )
+    sql = f"""
+SELECT fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lossless THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless,
+       CAST(SUM(CASE WHEN ge40 THEN 1 ELSE 0 END) AS BIGINT) AS n_psnr_ge_40,
+       CAST(SUM(CASE WHEN stable THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_stable
+FROM {_values(rows, "fmt, lossless, ge40, stable")}
+GROUP BY fmt ORDER BY fmt
+"""
+    _CACHE["codec"] = sql
+    return sql

@@ -406,7 +406,12 @@ def q_crawl_toan_van(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sectionize(eng.final_state()["doc_lines"]).orderBy("doc_id", "section_number")
 
 
-@_register("multimodal_decode_stats", None)
+@_register(
+    "multimodal_decode_stats",
+    lambda: __import__(
+        "vbpl_web_crawl_spark.plans.decode_oracles", fromlist=["x"]
+    ).multimodal_decode_oracle(),
+)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an image+caption corpus (input_hint schema), decode +
     feature-extract in Arrow batches, aggregate per format."""
@@ -507,7 +512,12 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("audio_feature_stats", None)
+@_register(
+    "audio_feature_stats",
+    lambda: __import__(
+        "vbpl_web_crawl_spark.plans.decode_oracles", fromlist=["x"]
+    ).audio_feature_oracle(),
+)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality: WAV (real codec) corpus -> decode + feature
     extraction (RMS/ZCR/peak/dominant-frequency) in Arrow batches;
@@ -526,7 +536,12 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("video_frame_sample_stats", None)
+@_register(
+    "video_frame_sample_stats",
+    lambda: __import__(
+        "vbpl_web_crawl_spark.plans.decode_oracles", fromlist=["x"]
+    ).video_frame_oracle(),
+)
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality: frame sampling over REAL AVI-MJPEG containers
     (sources/video.py demux; only the strided frames' JPEG payloads are
@@ -546,7 +561,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("codec_matrix_stats", None)
+@_register(
+    "codec_matrix_stats",
+    lambda: __import__(
+        "vbpl_web_crawl_spark.plans.decode_oracles", fromlist=["x"]
+    ).codec_matrix_oracle(),
+)
 def q_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every registered image codec through the distributed decode path
     (X3 registry coverage gate): 8 deterministic synthetic scans per
