@@ -17,6 +17,7 @@ BUILDERS = [
     ("audio_feature_stats", D.audio_feature_oracle),
     ("video_frame_sample_stats", D.video_frame_oracle),
     ("codec_matrix_stats", D.codec_matrix_oracle),
+    ("crawl_visit_log", D.crawl_visit_oracle),
 ]
 
 

@@ -157,6 +157,54 @@ GROUP BY video_id ORDER BY video_id
     return sql
 
 
+def crawl_visit_oracle() -> str:
+    """The tiny-crawl visit log's expected rows from the INDEPENDENT
+    single-threaded reference crawler (crawl/oracle.py) — different
+    code, not the engine's functions: the same canonical
+    (depth, doc-type rank, discovery-seq) priority, politeness budgets,
+    robots filter, and retry re-admission, replayed sequentially over
+    the same synthetic site. This lifts the pytest visit-order/seen-set
+    equality (tests/test_crawl_engine.py) into a driver-visible SQL
+    oracle: any scheduling, dedup, retry, or round-barrier divergence
+    in the distributed engine breaks row equality here."""
+    if "crawl" in _CACHE:
+        return _CACHE["crawl"]
+    from vbpl_web_crawl_spark.crawl.oracle import run_oracle
+    from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+    # identical knobs to plans/extra_queries._tiny_crawl's CrawlConfig
+    site = SITE.SiteConfig(
+        n_pages=1, docs_per_page=8, related_per_doc=1, max_attachments=1, fault_every=5
+    )
+    res = run_oracle(site, dict(SITE.ROBOTS), round_window_s=120.0, max_retries=3)
+    rows = [
+        (
+            v["visit_seq"],
+            v["round"],
+            v["url"],
+            v["url"].split("://", 1)[1].split("/", 1)[0],
+            v["depth"],
+            v["doc_type"],
+            v["retry_count"],
+            v["status"],
+        )
+        for v in res.visits
+    ]
+    sql = f"""
+SELECT CAST(visit_seq AS BIGINT) AS visit_seq,
+       CAST(round AS INTEGER) AS round,
+       url, host,
+       CAST(depth AS INTEGER) AS depth,
+       doc_type,
+       CAST(retry_count AS INTEGER) AS retry_count,
+       CAST(status AS INTEGER) AS status
+FROM {_values(rows, "visit_seq, round, url, host, depth, doc_type, retry_count, status")}
+ORDER BY visit_seq
+"""
+    _CACHE["crawl"] = sql
+    return sql
+
+
 def codec_matrix_oracle() -> str:
     """Every registered codec x 8 synthetic 64x64 scans:
     encode -> decode -> lossless / PSNR>=40 / phash-stability flags,

@@ -388,12 +388,28 @@ def _tiny_crawl(spark: SparkSession):
     return eng
 
 
-@_register("crawl_visit_log", None)
+@_register(
+    "crawl_visit_log",
+    lambda: __import__(
+        "vbpl_web_crawl_spark.plans.decode_oracles", fromlist=["x"]
+    ).crawl_visit_oracle(),
+)
 def q_crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full crawl on the tiny synthetic site; returns the canonical
-    visit log (exact-order semantics tested vs the oracle in pytest)."""
+    visit log. Oracle: the independent single-threaded reference
+    crawler's replay (crawl/oracle.py via plans/decode_oracles.py) —
+    exact visit-order equality, now driver-visible as SQL. url_hash
+    (a Spark xxhash64 the reference cannot recompute) is projected
+    out; the hash-keyed seen-set equality stays pytest-pinned."""
     eng = _tiny_crawl(spark)
-    return eng.final_state()["visit_log"].orderBy("visit_seq")
+    return (
+        eng.final_state()["visit_log"]
+        .select(
+            "visit_seq", "round", "url", "host",
+            "depth", "doc_type", "retry_count", "status",
+        )
+        .orderBy("visit_seq")
+    )
 
 
 @_register("crawl_toan_van_sections", None)
