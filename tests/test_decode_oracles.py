@@ -18,6 +18,7 @@ BUILDERS = [
     ("video_frame_sample_stats", D.video_frame_oracle),
     ("codec_matrix_stats", D.codec_matrix_oracle),
     ("crawl_visit_log", D.crawl_visit_oracle),
+    ("crawl_toan_van_sections", D.toan_van_oracle),
 ]
 
 

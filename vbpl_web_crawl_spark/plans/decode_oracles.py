@@ -32,6 +32,8 @@ _CACHE: dict[str, str] = {}
 
 def _values(rows: list[tuple], names: str) -> str:
     def lit(v) -> str:
+        if v is None:
+            return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, float):
@@ -202,6 +204,155 @@ FROM {_values(rows, "visit_seq, round, url, host, depth, doc_type, retry_count, 
 ORDER BY visit_seq
 """
     _CACHE["crawl"] = sql
+    return sql
+
+
+def _sectionize_seq(doc_lines: dict[str, list[str]]) -> list[tuple]:
+    """Sequential reference sectionizer — an INDEPENDENT imperative
+    implementation of the reference parser's W1-W5 semantics
+    (/root/reference/app/service/vbpl.py:254-437), written as the
+    single-pass state machine the reference actually is, NOT a
+    translation of operators/sectionizer.py's window-function form.
+    Used only to build the toan_van oracle; any divergence between the
+    two formulations fails the gate."""
+    import re
+
+    from vbpl_web_crawl_spark.operators.sectionizer import (
+        NAME_OVERFLOW,
+        RE_APPENDIX,
+        RE_BIG_PART,
+        RE_CHAPTER,
+        RE_MINI_PART,
+        RE_PART,
+        RE_RULE,
+        RE_SECTION,
+    )
+
+    out: list[tuple] = []
+    for doc_id, raw_lines in doc_lines.items():
+        lines = [ln.strip(" ") for ln in raw_lines]
+        # state: carried hierarchy (value, name), reset by higher levels
+        big = chap = part = mini = None  # (number, name) tuples
+        seen_rule = False
+        in_appendix = False
+        prev_struct = False
+        sections: list[dict] = []  # current section accumulates content
+        cur: dict | None = None
+        for i, line in enumerate(lines):
+            nxt = lines[i + 1].strip(" ") if i + 1 < len(lines) else None
+            m_big = re.search(RE_BIG_PART, line)
+            m_chap = re.search(RE_CHAPTER, line)
+            m_part = re.search(RE_PART, line)
+            m_mini = re.search(RE_MINI_PART, line)
+            m_sec = re.search(RE_SECTION, line)
+            if re.search(RE_APPENDIX, line):
+                in_appendix = True
+            if re.search(RE_RULE, line):
+                seen_rule = True
+            is_struct = bool(m_big or m_chap or m_part or m_mini)
+            if m_big:  # new big part resets everything below
+                big, chap, part, mini = (m_big.group(1), nxt), None, None, None
+            elif m_chap:  # new chapter resets part + mini-part
+                chap, part, mini = (m_chap.group(1), nxt), None, None
+            elif m_part:
+                part, mini = (m_part.group(1), nxt), None
+            elif m_mini:
+                mini = (m_mini.group(1), nxt)
+            elif m_sec and not in_appendix:
+                raw_name = m_sec.group(2)
+                overflow = raw_name if len(raw_name) >= NAME_OVERFLOW else None
+                cur = {
+                    "doc_id": doc_id,
+                    "number": int(m_sec.group(1)),
+                    "name": None if overflow is not None else raw_name,
+                    "overflow": overflow,
+                    "content": [],
+                    "big": big,
+                    "chap": chap,
+                    "part": part,
+                    "mini": mini,
+                }
+                sections.append(cur)
+            elif (
+                cur is not None
+                and not m_sec  # an appendix Dieu line is not content
+                and not re.search(RE_RULE, line)
+                and not in_appendix
+                and not seen_rule
+                and not is_struct
+                and not prev_struct
+            ):
+                cur["content"].append(line)
+            prev_struct = is_struct
+        for s in sections:
+            body = "\n".join(s["content"])
+            content = (
+                s["overflow"] + "\n" + body if s["overflow"] is not None else body
+            )
+            out.append(
+                (
+                    s["doc_id"],
+                    s["number"],
+                    s["name"],
+                    content,
+                    s["chap"][0] if s["chap"] else None,
+                    s["chap"][1] if s["chap"] else None,
+                    s["big"][0] if s["big"] else None,
+                    s["big"][1] if s["big"] else None,
+                    s["part"][0] if s["part"] else None,
+                    s["part"][1] if s["part"] else None,
+                    s["mini"][0] if s["mini"] else None,
+                    s["mini"][1] if s["mini"] else None,
+                )
+            )
+    return out
+
+
+def toan_van_oracle() -> str:
+    """crawl -> doc_lines -> sectionize, replayed sequentially: the
+    reference crawler (crawl/oracle.py) decides which documents get
+    fetched (and on which attempt), SITE.fetch reproduces their full
+    text, and :func:`_sectionize_seq` parses sections with an
+    independent imperative state machine. Certifies the whole
+    distributed phase-1 fulltext chain — crawl scheduling, doc_lines
+    posexplode, and the window-function sectionizer — against a
+    single-threaded reference end to end."""
+    if "toanvan" in _CACHE:
+        return _CACHE["toanvan"]
+    from vbpl_web_crawl_spark.crawl.oracle import run_oracle
+    from vbpl_web_crawl_spark.sources import synth_site as SITE
+
+    site = SITE.SiteConfig(
+        n_pages=1, docs_per_page=8, related_per_doc=1, max_attachments=1, fault_every=5
+    )
+    res = run_oracle(site, dict(SITE.ROBOTS), round_window_s=120.0, max_retries=3)
+    doc_lines: dict[str, list[str]] = {}
+    for v in res.visits:
+        if v["status"] != 200:
+            continue
+        page = SITE.fetch(site, v["url"], attempt=v["retry_count"])
+        if page.fulltext:
+            doc_lines[v["url"]] = list(page.fulltext)
+    rows = _sectionize_seq(doc_lines)
+    cols = [
+        "doc_id", "section_number", "section_name", "section_content",
+        "chapter_number", "chapter_name", "big_part_number", "big_part_name",
+        "part_number", "part_name", "mini_part_number", "mini_part_name",
+    ]
+    # explicit casts: an all-NULL VALUES column would otherwise infer a
+    # non-VARCHAR type and surface as NaN instead of None in pandas
+    select = ",\n       ".join(
+        "CAST(section_number AS INTEGER) AS section_number"
+        if c == "section_number"
+        else f"CAST({c} AS VARCHAR) AS {c}"
+        for c in cols
+    )
+    sql = f"""
+SELECT {select}
+FROM {_values(rows, ", ".join(cols))}
+ORDER BY doc_id, section_number
+"""
+    _CACHE["toanvan"] = sql
     return sql
 
 

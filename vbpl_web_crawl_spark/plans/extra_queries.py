@@ -412,10 +412,19 @@ def q_crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("crawl_toan_van_sections", None)
+@_register(
+    "crawl_toan_van_sections",
+    lambda: __import__(
+        "vbpl_web_crawl_spark.plans.decode_oracles", fromlist=["x"]
+    ).toan_van_oracle(),
+)
 def q_crawl_toan_van(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl -> doc_lines -> W1-W5 sectionizer: the reference's phase-1
-    fulltext chain (vbpl.py:439-470 -> 293-378) end to end."""
+    fulltext chain (vbpl.py:439-470 -> 293-378) end to end. Oracle: the
+    reference crawler's replay + an independent IMPERATIVE sectionizer
+    state machine (plans/decode_oracles.py:_sectionize_seq), so the
+    window-function formulation is checked against a second
+    implementation of the same reference semantics."""
     from vbpl_web_crawl_spark.operators.sectionizer import sectionize
 
     eng = _tiny_crawl(spark)
