@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 
 def _dot(x, y):
+    # NOTE (r06): unrolling this fold into a 64-term Add chain was
+    # measured 5-20x WORSE than the lambda (the mega-expression falls
+    # out of whole-stage codegen); the HOF form is the fastest pure-
+    # Catalyst formulation available. Bulk pairwise cosine lives in
+    # the numpy kernel of semantic_dedup instead (guide §4.2).
     return F.aggregate(
         F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -43,7 +48,13 @@ def assign_to_centroids(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     group, so first() is deterministic) — ONE shuffle of the embedding
     table and no join back, where a groupBy+join formulation shuffles
     it twice."""
-    j = emb.crossJoin(F.broadcast(centroids))
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    # spread by vec_id before the k HOF cosines per vector: a
+    # single-row-group scan otherwise evaluates them all on ONE task
+    # (guide §2.4), and hash(vec_id) already satisfies the argmin
+    # groupBy's distribution so the exchange count is unchanged
+    j = spread(emb, "vec_id").crossJoin(F.broadcast(centroids))
     best = j.groupBy("vec_id").agg(
         F.min(
             F.struct(

@@ -51,6 +51,12 @@ def write_bucketed(
     or orphaned location: callers never read stale buckets after
     upstream data changes."""
     _drop_with_location(df.sparkSession, table)
+    # pre-cluster rows into their buckets (same murmur3-mod hash family
+    # the bucketed layout uses): the write then runs `buckets`-wide with
+    # ONE file per bucket, instead of inheriting the scan's task count
+    # (a single-row-group input would write all buckets from one task)
+    # and emitting tasks x buckets files (guide §6 small-files)
+    df = df.repartition(buckets, key)
     w = df.write.bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -668,15 +668,35 @@ def sssp(
             )
         )
 
+    # Chunked relaxation (guide §2: fewer barriers): chain CHUNK lazy
+    # relaxations between materializations. Each chunk costs ONE
+    # checkpoint job + ONE frontier count instead of one pair per
+    # relaxation — the per-barrier fixed cost (job launch, plan
+    # analysis, checkpoint write) was the dominant term at bench scale
+    # (BENCH_r05: 18.3 s for a ~10-hop radius). Relaxing past the
+    # fixpoint is the identity (min-agg idempotent), so the converged
+    # distances are bit-identical for any chunk size; exchange reuse
+    # keeps the intra-chunk plan linear (each step's groupBy exchange
+    # feeds both its dist and frontier consumers once).
+    CHUNK = 2
     rounds_left = max_rounds
     while rounds_left > 0:
-        g = _relax(dist, frontier).localCheckpoint(eager=True)
-        rounds_left -= 1
+        steps = min(CHUNK, rounds_left)
+        g = None
+        for _ in range(steps):
+            g = _relax(dist, frontier)
+            dist = g.select("node", F.col("nd").alias("dist"))
+            frontier = g.filter(
+                F.col("od").isNull() | (F.col("nd") < F.col("od"))
+            ).select("node", F.col("nd").alias("dist"))
+        g = g.localCheckpoint(eager=True)
+        rounds_left -= steps
         dist = g.select("node", F.col("nd").alias("dist"))
         frontier = g.filter(
             F.col("od").isNull() | (F.col("nd") < F.col("od"))
         ).select("node", F.col("nd").alias("dist"))
-        if frontier.count() == 0:  # fixpoint: nothing improved
+        n_front = frontier.count()
+        if n_front == 0:  # fixpoint: nothing improved
             e.unpersist()
             return dist
     e.unpersist()

@@ -67,7 +67,11 @@ FROM t GROUP BY lang
 """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("lang", "text")
+    )
     return (
         docs.select(
             "lang",
@@ -147,7 +151,11 @@ GROUP BY norm_text
 """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    )
     return (
         docs.select("doc_id", "n_chars", _norm(F.col("text")).alias("norm_text"))
         .groupBy("norm_text")
@@ -208,7 +216,16 @@ def capped_shingles(docs: DataFrame, k: int = 3, df_cap: int = NGRAM_DF_CAP) -> 
     SQL oracle) — they are covered by the exact-dedup path."""
     from pyspark.sql import Window
 
-    tok = docs.select(
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    # Spread the COMPACT rows before tokenize+explode (guide §2.3/§8):
+    # the corpus arrives as one row group per file at bench SFs, so
+    # without this the tokenize/explode of the whole corpus runs on ONE
+    # scan task; the exchange moved here carries raw text (MBs) instead
+    # of the exploded token rows the window would otherwise shuffle,
+    # and hash(doc_id) satisfies the window's distribution requirement
+    # so no second exchange appears.
+    tok = spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "g")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -325,12 +342,16 @@ FROM bands a JOIN bands b
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = capped_shingles(docs)
+    # localCheckpoint: the signature table is consumed by BOTH sides of
+    # the band self-join; materializing the tiny (doc_id, 8 hashes)
+    # frame guarantees the shingle+md5 subtree runs once instead of
+    # relying on exchange reuse across the self-join branches
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"h{i}")
             for i in range(_MINHASH_K)
         ]
-    )
+    ).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -396,8 +417,13 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # CAPPED shingles (stop-shingle removal, oracle-mirrored): without
     # the cap a boilerplate shingle wins band minima corpus-wide and
-    # one band bucket goes O(d^2) — see the md5-path comment above
-    sh = capped_shingles(docs)
+    # one band bucket goes O(d^2) — see the md5-path comment above.
+    # localCheckpoint: the shingle subtree (tokenize + explode + window
+    # + distinct + DF-cap join) feeds THREE consumers here (signature
+    # agg, verify side a, verify side b) — without materialization it
+    # is recomputed per consumer (guide §5 "caching": reused AND
+    # expensive to recompute; released with the frame, not pinned)
+    sh = capped_shingles(docs).localCheckpoint(eager=False)
     # integer signature: min over shingles of xxhash64(shingle, seed_i);
     # the shingle-set size rides along in the same aggregation so the
     # verify step below needs no second shingle pass for sizes
@@ -407,7 +433,8 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(_MINHASH_K_INT)
         ],
-    )
+    ).localCheckpoint(eager=False)  # feeds bands AND sizes: one
+    # 16-hash signature pass instead of two
     # band key: hash the band's two signature longs back to one long —
     # the band join shuffles (long, long) keys only
     bands = sig.select(
@@ -597,7 +624,12 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant is what survives the 100x)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
     tok = docs.select(
         "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "g")
     )
@@ -697,7 +729,11 @@ FROM bits
 """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
     tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     tallies = toks.groupBy("doc_id").agg(
@@ -891,9 +927,13 @@ LIMIT 10
 """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbpl_web_crawl_spark.sources.tables import spread
+
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    e = emb.filter(F.col("vec_id") != 0)
+    # spread: one row group -> one scan task would serialize the HOF
+    # dot products (guide §2.4); TakeOrderedAndProject stays per-task
+    e = spread(emb.filter(F.col("vec_id") != 0))
 
     def dot(x, y):
         return F.aggregate(
@@ -1285,7 +1325,9 @@ FROM dots GROUP BY 1
 """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("embedding"))
 
     def dot_plane(h: int):
         plane = F.array(*[F.lit(float(v)) for v in _plane(h)])
@@ -1953,7 +1995,12 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     k = DUP_SPAN_K
-    tok = docs.select(
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    # spread compact rows before tokenize+explode (single-row-group
+    # scan, guide §2.3/§8); hash(doc_id) feeds the lead() window and
+    # the (doc_id, lang, h) aggregation with no further exchange
+    tok = spread(docs.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "g")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -2545,7 +2592,11 @@ FROM red GROUP BY lang
 """,
 )
 def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     msg = F.concat(
         F.lit("user-"), F.col("doc_id").cast("string"), F.lit("@mail.example called +1-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
@@ -2616,7 +2667,11 @@ SELECT * FROM (
 """,
 )
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     cnt = (
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")

@@ -89,10 +89,17 @@ def q_phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact phrase query via positional-postings adjacency joins:
     (doc_id, n_matches, first_pos, last_pos, phrase), positions
     1-based. Only the three query terms' postings ever shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    # localCheckpoint: the token stream feeds the trigram miner AND the
+    # three postings branches of the phrase join — four consumers that
+    # would each re-tokenize the corpus
     tok = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("p0", "t")
-    )
+    ).localCheckpoint(eager=False)
     # stage 1 — miner: one doc-keyed window pass over the token stream
     # (the shingle shape shared with the minhash/pmi gates)
     w = Window.partitionBy("doc_id").orderBy("p0")
@@ -194,13 +201,20 @@ def q_pareto_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary powers), so the integer lane carries no float rounding."""
     from vbpl_web_crawl_spark.functions import text as TX
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    # localCheckpoint: t feeds the level table AND the tag-back join —
+    # without it the 4-step quality score + tokenization runs twice;
+    # the materialized frame is 4 narrow columns per doc
     t = docs.select(
         "doc_id",
         "lang",
         TX.token_count_ws(F.col("text")).cast("long").alias("nt"),
         F.round(TX.quality_score(F.col("text")) * 4).cast("int").alias("q4"),
-    )
+    ).localCheckpoint(eager=False)
     lvl = t.groupBy("lang", "q4").agg(F.min("nt").alias("min_t"))
     w = (
         Window.partitionBy("lang")

@@ -72,7 +72,11 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     in >= 2 distinct docs are 'boilerplate' (CCNet's line-hash dedup,
     segment-ized for the single-line corpus); reports how much of each
     source a line-level dedup pass would strip."""
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     toks = PQ._tokens(F.col("text"))
     n_seg = F.ceil(F.size(toks) / F.lit(_SEG_W)).cast("long")
     # hash the token-array slice STRUCTURALLY (xxhash64 over array<string>)
@@ -181,21 +185,60 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Pair stage as a per-cluster numpy kernel (guide §4.2: hand whole
+    # batches to vectorized native code). The cid equi-join formulation
+    # evaluated ~25M interpreted HOF cosines (~17 us each — 27.7 s at
+    # sf1.0, the entire query's cost); unrolling the fold into Catalyst
+    # Add-chains was measured WORSE (codegen bailout). Here each
+    # cluster's (ids, vectors, norms) arrive in one Arrow group and the
+    # pairwise cosine matrix is built by a dim-loop of outer products:
+    #   acc = ((0 + x0*y0) + x1*y1) + ...   elementwise in float64 —
+    # the EXACT IEEE operation sequence of the zip_with/aggregate fold
+    # (embeddings are float32, exactly widened to float64 in both
+    # paths), divided by the SAME Spark-computed norms (na*nb, never
+    # recomputed here), so every cosine is bit-identical to the
+    # Catalyst expression. Comparison replicates Spark's NaN ordering
+    # (NaN >= tau is true in Spark SQL) via `| isnan`. Memory is
+    # bounded O(n_c * block) by the column blocking; SemDeDup sizes
+    # k ~ sqrt(n) so n_c stays bounded (module docstring).
+    import numpy as np
+    import pandas as pd
+
+    tau = _SEM_TAU
+
+    def _cluster_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+        A = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )[order]
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        blk = 2048
+        i_idx = np.arange(n)
+        for j0 in range(1, n, blk):
+            j1 = min(n, j0 + blk)
+            acc = np.zeros((n, j1 - j0))
+            for d in range(A.shape[1]):
+                acc = acc + np.multiply.outer(A[:, d], A[j0:j1, d])
+            cos = acc / np.multiply.outer(nrm, nrm[j0:j1])
+            ok = (cos >= tau) | np.isnan(cos)
+            # ids are sorted ascending, so id_a < id_b == row index < col
+            ok &= i_idx[:, None] < np.arange(j0, j1)[None, :]
+            dropped[j0:j1] |= ok.any(axis=0)
+        k = int(dropped.sum())
+        return pd.DataFrame(
+            {
+                "cid": np.full(k, pdf["cid"].iloc[0], dtype=np.int32),
+                "vec_id": ids[dropped].astype(np.int64),
+            }
+        )
+
     dropped = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= _SEM_TAU)
-        .select("cid", F.col("id_b").alias("vec_id"))
-        .distinct()
+        assigned.select("cid", "vec_id", "embedding", "nrm")
+        .groupBy("cid")
+        .applyInPandas(_cluster_dropped, "cid int, vec_id long")
     )
     return (
         assigned.join(
@@ -691,7 +734,12 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean fixed-point target/raw likelihood ratio of each doc's hashed
     bigram features. Docs with < 2 tokens drop out identically on
     both engines (no bigram)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
     tok = docs.select(
         "doc_id",
         "lang",
@@ -806,7 +854,11 @@ def q_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark side MATERIALIZES the chunks (explode over slice
     starts) and measures them, certifying the chunk boundaries the
     closed-form oracle only states."""
-    docs = load_table(spark, sf_dir, "documents")
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     toks = PQ._tokens(F.col("text"))
     stride = _CHUNK_C - _CHUNK_O
     n = F.size(toks)

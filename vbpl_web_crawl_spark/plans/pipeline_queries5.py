@@ -221,7 +221,10 @@ def q_bowtie_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("v"),
     )
     edges = (
-        li.join(
+        # merge hint: avoid the 6M-row driver broadcast the size
+        # estimate would otherwise pick (measured 11.4 -> 4.0 s; see
+        # twohop_frontier_reach)
+        li.hint("merge").join(
             nxt,
             (F.col("l_orderkey") == F.col("o2"))
             & (F.col("l_linenumber") == F.col("prev_line")),

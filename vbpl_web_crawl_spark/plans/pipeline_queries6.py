@@ -206,7 +206,14 @@ def q_twohop_frontier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("v"),
     )
     edges = (
-        li.join(
+        # merge hint (guide §3.1 "pick the strategy deliberately"): the
+        # planner's size estimate puts the 6M-row projected side just
+        # under the broadcast threshold at sf1.0, and collecting +
+        # hashing 6M rows on the driver is strictly worse than the
+        # 32-way shuffled sort-merge (measured 11.4 s -> 4.0 s for the
+        # edge derivation alone); at larger scale broadcast is not an
+        # option for a fact-fact self-join anyway
+        li.hint("merge").join(
             nxt,
             (F.col("l_orderkey") == F.col("o2"))
             & (F.col("l_linenumber") == F.col("prev_line")),
@@ -219,14 +226,25 @@ def q_twohop_frontier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     mid = edges.select(F.col("u").alias("m"), F.col("v").alias("w"))
-    two = (
+    # distinct + direct-edge anti-join folded into ONE tagged
+    # aggregation (guide §2.4 "remove shuffles outright"): raw 2-hop
+    # paths (tag 0) union the direct edges (tag 1), grouped once on
+    # (u, w) — a group containing an edge row is a direct successor
+    # (excluded), a path-only group is a fresh frontier pair (counted
+    # once). Replaces the 44M-row distinct exchange PLUS the 44M-row
+    # sort-merge anti-join with a single exchange + hash aggregate;
+    # the pair set is identical by construction.
+    paths = (
         edges.join(mid, edges.v == mid.m)
         .filter(F.col("u") != F.col("w"))
-        .select("u", "w")
-        .distinct()
+        .select("u", "w", F.lit(0).alias("tag"))
     )
-    fresh = two.join(
-        edges.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
+    direct = edges.select("u", F.col("v").alias("w"), F.lit(1).alias("tag"))
+    fresh = (
+        paths.unionByName(direct)
+        .groupBy("u", "w")
+        .agg(F.max("tag").alias("mt"))
+        .filter(F.col("mt") == 0)
     )
     per_node = fresh.groupBy("u").agg(F.count(F.lit(1)).alias("fof"))
     return (

@@ -56,19 +56,26 @@ def _sf_tag(sf_dir: str) -> str:
 def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(Re)write the projected orders/lineitem pair as co-bucketed
     tables for ``sf_dir`` and return their names. Always overwrites —
-    readers never see buckets stale against the parquet input."""
+    readers never see buckets stale against the parquet input.
+
+    Bucket count: ``max(_BUCKETS, defaultParallelism)`` — the layout
+    rule in operators/bucketing.py ("choose for the TARGET scale:
+    buckets ~ total cores x small constant"); at 8 the write AND every
+    later co-located join were capped at 8-way on a 32-core session.
+    The rollup values are layout-independent (oracle unchanged)."""
     from vbpl_web_crawl_spark.operators.bucketing import write_bucketed
 
+    buckets = max(_BUCKETS, spark.sparkContext.defaultParallelism)
     tag = _sf_tag(sf_dir)
-    ot, lt = f"bkt{_BUCKETS}_orders_{tag}", f"bkt{_BUCKETS}_lineitem_{tag}"
+    ot, lt = f"bkt{buckets}_orders_{tag}", f"bkt{buckets}_lineitem_{tag}"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.expr(_REV_E4_SPARK).alias("rev_e4")
     )
-    write_bucketed(o, ot, _BUCKETS, "o_orderkey")
-    write_bucketed(li, lt, _BUCKETS, "l_orderkey")
+    write_bucketed(o, ot, buckets, "o_orderkey")
+    write_bucketed(li, lt, buckets, "l_orderkey")
     return ot, lt
 
 

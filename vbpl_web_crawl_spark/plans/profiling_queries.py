@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from vbpl_web_crawl_spark.plans.pipeline_queries import _TOKENS_SQL, _tokens
 from vbpl_web_crawl_spark.plans.queries import _register
-from vbpl_web_crawl_spark.sources.tables import load_table
+from vbpl_web_crawl_spark.sources.tables import load_table, spread
 
 # (name, kind) in report order; kind drives which measures are numeric.
 _PROFILE_COLS = (
@@ -109,7 +109,14 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max and mean length. The wide single-row result is pivoted to
     the long per-column report with a Catalyst ``inline`` — the whole
     query is one scan plus one single-partition reduce."""
-    ev = load_table(spark, sf_dir, "events")
+    # spread: the exact-distinct aggregation expands every row ~7x
+    # (one replica per count_distinct column) and partially aggregates
+    # the expanded stream BEFORE the exchange; with a single-row-group
+    # scan all of that ran on ONE task (guide §2.4, 16.5 s at sf1.0 in
+    # BENCH_r05). One round-robin exchange of the raw rows spreads it.
+    from vbpl_web_crawl_spark.sources.tables import spread
+
+    ev = spread(load_table(spark, sf_dir, "events"))
     aggs = []
     for c, kind in _PROFILE_COLS:
         aggs += [
@@ -197,7 +204,9 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs corpus-wide. One posexplode feeds both count tables; the
     final top-k is a TakeOrderedAndProject over the Zipf-bounded
     filtered pair table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     tok = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
     )

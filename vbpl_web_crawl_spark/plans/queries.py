@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vbpl_web_crawl_spark.functions import scalars as S
-from vbpl_web_crawl_spark.sources.tables import load_table
+from vbpl_web_crawl_spark.sources.tables import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -527,11 +527,19 @@ WHERE 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("left_key"),
-        F.col("p_name").alias("a_name"),
-        F.col("p_size").alias("a_size"),
-        F.col("p_brand").alias("a_brand"),
+    # Probe-side spread (guide §2.4): part is ONE row group at every
+    # driver SF, so the broadcast-join probe — ~16M candidate
+    # levenshteins at sf1.0 — otherwise runs on ONE scan task
+    # (measured 60.1 s in BENCH_r05). factor=4 smooths per-block cost
+    # variance across tasks.
+    a = spread(
+        part.select(
+            F.col("p_partkey").alias("left_key"),
+            F.col("p_name").alias("a_name"),
+            F.col("p_size").alias("a_size"),
+            F.col("p_brand").alias("a_brand"),
+        ),
+        factor=4,
     )
     b = part.select(
         F.col("p_partkey").alias("right_key"),
@@ -539,15 +547,36 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("b_size"),
         F.col("p_brand").alias("b_brand"),
     )
-    ratio = S.levenshtein_ratio(F.col("a_name"), F.col("b_name"))
+    # Banded levenshtein (guide §1.2 "per-task work"): sim >= 0.55
+    # needs lev <= 0.45*g, so a threshold t = floor(9g/20)+1 (one unit
+    # of slack, integer arithmetic — no float rounding on the
+    # threshold) lets Spark's O(t*min(la,lb)) banded algorithm bail
+    # out early (-1) on the ~99% of pairs that cannot match; for pairs
+    # within the band it returns the EXACT distance, and the original
+    # float predicate/sim expression is evaluated on that exact value,
+    # so the surviving set and sim values are bit-identical to the
+    # full-width form (a pair with lev > t has 1 - lev/g < 0.55 - 1/g,
+    # which no double rounding can lift over 0.55). The |len diff|
+    # guard costs two length() calls and skips the levenshtein
+    # entirely when the lengths alone prove lev > t.
+    g = F.greatest(F.length("a_name"), F.length("b_name"), F.lit(1))
+    t = (F.floor(F.lit(9) * g / F.lit(20)) + F.lit(1)).cast("int")
+    d = F.expr(
+        "levenshtein(a_name, b_name,"
+        " cast(floor(9 * greatest(length(a_name), length(b_name), 1) / 20)"
+        " as int) + 1)"
+    )
+    ratio = F.lit(1.0) - d.cast("double") / g.cast("double")
     return (
         a.join(
             b,
             (F.col("a_size") == F.col("b_size"))
             & (F.col("a_brand") == F.col("b_brand"))
-            & (F.col("left_key") < F.col("right_key")),
+            & (F.col("left_key") < F.col("right_key"))
+            & (F.abs(F.length("a_name") - F.length("b_name")) <= t)
+            & (d >= 0)
+            & (ratio >= 0.55),
         )
-        .filter(ratio >= 0.55)
         .select("left_key", "right_key", F.round(ratio, 4).alias("sim"))
     )
 

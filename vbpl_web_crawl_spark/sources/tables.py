@@ -36,6 +36,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, *keys: str, factor: int = 1) -> DataFrame:
+    """Rebalance a narrow scan across the cluster BEFORE expensive
+    per-row compute (guide §2.4/§8: a single-row-group parquet file
+    yields ONE scan task no matter the core count, serializing every
+    tokenize/hash/explode that follows).
+
+    Keyed form (``spread(df, "doc_id")``) hash-partitions on the
+    downstream window/groupBy key so the one exchange both spreads the
+    compute AND satisfies the downstream distribution requirement —
+    no second exchange appears. Keyless form round-robins.
+
+    Scale-adaptive, not a constant: the target is
+    ``defaultParallelism * factor`` (cluster-derived), and when the
+    scan already yields at least that many partitions (the real-scale
+    case — many files / many row groups) this is a NO-OP, so no
+    exchange is added where the layout is already parallel."""
+    par = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    if keys:
+        from pyspark.sql import functions as F
+
+        return df.repartition(par, *[F.col(k) for k in keys])
+    return df.repartition(par)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every catalog table as a temp view; returns the frames."""
     out: dict[str, DataFrame] = {}
