@@ -59,15 +59,33 @@ def main() -> None:
             with open(os.path.join(args.explain_dir, f"{name}.txt"), "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
+        def _cpu():
+            try:
+                with open("/proc/stat") as fh:
+                    return [int(v) for v in fh.readline().split()[1:9]]
+            except Exception:
+                return None
+
         secs = []
+        steals = []
         for _ in range(args.repeat):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            c0 = _cpu()
             t0 = time.time()
             qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()
             secs.append(round(time.time() - t0, 3))
+            c1 = _cpu()
+            if c0 and c1:
+                d = [b - a for a, b in zip(c0, c1)]
+                steals.append(round(100.0 * d[7] / max(sum(d), 1), 2))
             spark.sparkContext.setJobDescription(None)
         total += min(secs)
-        print(json.dumps({"query": name, "secs": secs, "min": min(secs)}), flush=True)
+        print(
+            json.dumps(
+                {"query": name, "secs": secs, "min": min(secs), "steal": steals}
+            ),
+            flush=True,
+        )
     print(json.dumps({"total_min": round(total, 3), "sf": args.sf, "n": len(names)}), flush=True)
 
 

@@ -117,7 +117,9 @@ _BENCH_PLAN_EXPECT = {
         and n["BroadcastNestedLoopJoin"] == 0
     ),
     "dedup_exact_clusters": lambda p, n: (
-        n["HashAggregate"] >= 2 and _shuffles(n) == 1
+        # r06: +1 rebalance exchange of raw rows before normalization
+        # (sources/tables.spread; single-row-group scan)
+        n["HashAggregate"] >= 2 and _shuffles(n) <= 2
     ),
     "dedup_minhash_lsh_pairs": lambda p, n: (
         n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] >= 1
@@ -159,14 +161,19 @@ _BENCH_PLAN_EXPECT = {
     ),
     "fingerprint_simhash": lambda p, n: n["HashAggregate"] >= 2,
     "text_stats_by_lang": lambda p, n: (
-        n["HashAggregate"] >= 2 and _shuffles(n) == 1
+        # r06: +1 rebalance exchange (spread) ahead of the scalar stats
+        n["HashAggregate"] >= 2 and _shuffles(n) <= 2
     ),
     "ann_cosine_topk": lambda p, n: (
         # broadcast single-row query vector + per-partition top-k heap
         n["TakeOrderedAndProject"] == 1 and n["BroadcastExchange"] >= 1
     ),
     "ann_lsh_bucket_histogram": lambda p, n: (
-        n["HashAggregate"] >= 2 and _shuffles(n) == 1
+        # r06: one extra rebalance exchange of the RAW vectors ahead of
+        # the per-plane HOF dots (sources/tables.spread — a single-row-
+        # group scan otherwise evaluates them all on one task); the
+        # aggregation itself still shuffles exactly once
+        n["HashAggregate"] >= 2 and _shuffles(n) <= 2
     ),
     "quality_repetition_stats": lambda p, n: (
         # two (doc_id, gram) partial-agg groupBys + doc_id joins + the
@@ -192,7 +199,8 @@ _BENCH_PLAN_EXPECT = {
     ),
     "pii_redaction_stats": lambda p, n: (
         # regexp_count/replace stay JVM-side; one per-lang aggregate
-        _shuffles(n) == 1
+        # (r06: +1 rebalance exchange from spread)
+        _shuffles(n) <= 2
         and n["BroadcastNestedLoopJoin"] == 0
         and "mapInPandas" not in p
     ),
@@ -687,8 +695,10 @@ _BENCH_PLAN_EXPECT = {
         # the position-adjacency alignment joins broadcast the tiny
         # per-term posting lists; only the final per-doc agg shuffles
         n["BroadcastHashJoin"] >= 2
-        and _shuffles(n) <= 1
-        and n["Generate"] >= 1
+        # r06: the token stream is spread + localCheckpointed (4
+        # consumers); the postings plan reads the checkpoint, so the
+        # Generate sits behind it and up to one extra exchange appears
+        and _shuffles(n) <= 2
     ),
     "pareto_quality_frontier": lambda p, n: (
         # skyline via ONE per-lang running-max window over the bounded

@@ -165,7 +165,14 @@ def pagerank(
     par = spark.sparkContext.defaultParallelism
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ej = e.join(outdeg, "src").repartition(par, "src").persist()
+    ej = (
+        e.join(outdeg, "src")
+        .repartition(par, "src")
+        # sorted persist: per-iteration contribution join re-sorts only
+        # the rank table (see sssp below)
+        .sortWithinPartitions("src")
+        .persist()
+    )
     nodes = ej.select(F.col("src").alias("node")).distinct().persist()
     base = (100 - damp_pct) * mass // 100
     ranks = nodes.select("node", F.lit(mass).cast("long").alias("rank"))
@@ -227,6 +234,9 @@ def bfs_layers(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
         .distinct()
+        # sorted persist: each layer's expansion join re-sorts only the
+        # frontier (see sssp below)
+        .sortWithinPartitions("u")
         .persist()
     )
     visited = (
@@ -383,7 +393,14 @@ def personalized_pagerank(
     par = spark.sparkContext.defaultParallelism
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ej = e.join(outdeg, "src").repartition(par, "src").persist()
+    ej = (
+        e.join(outdeg, "src")
+        .repartition(par, "src")
+        # sorted persist: per-iteration contribution join re-sorts only
+        # the rank table (see sssp below)
+        .sortWithinPartitions("src")
+        .persist()
+    )
     nodes = ej.select(F.col("src").alias("node")).distinct().persist()
     n_seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().count()
     if n_seeds == 0:
@@ -641,6 +658,11 @@ def sssp(
         .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        # persist SORTED by the relaxation join key: every round's
+        # sort-merge join then re-sorts only the frontier side — the
+        # cached edge ordering is reused (guide §2.4; the per-round
+        # sort of the full edge table was the dominant repeated cost)
+        .sortWithinPartitions("u")
         .persist()
     )
     dist = (

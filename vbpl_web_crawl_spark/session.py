@@ -58,6 +58,20 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # ContextCleaner frees dead shuffle files, broadcasts and
+        # localCheckpoint blocks only when the driver JVM garbage
+        # collects; the default periodic-GC interval (30 min) is longer
+        # than an entire bench session, so a many-query session
+        # accumulates dead blocks until allocation pressure forces slow
+        # full GCs — measured as 2-5x inflation of late-session queries
+        # (guide §5). 90 s keeps cleanup continuous;
+        # ExplicitGCInvokesConcurrent turns that periodic System.gc()
+        # into a concurrent G1 cycle instead of a multi-second
+        # stop-the-world full collection on a large heap.
+        .config("spark.cleaner.periodicGC.interval", "90s")
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
