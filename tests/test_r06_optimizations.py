@@ -144,3 +144,22 @@ def test_sssp_chunked_max_rounds_is_exact(spark):
     }
     with pytest.raises(RuntimeError):
         sssp(edges, seeds, max_rounds=3)
+
+
+def test_global_sequence_lying_approx_rows_raises(spark):
+    """VERDICT r05 #7: a stale approx_rows claiming the small-window
+    path on a large input must raise, not silently single-partition."""
+    from vbpl_web_crawl_spark.operators.sequence import (
+        SMALL_INPUT_THRESHOLD,
+        global_sequence,
+    )
+
+    big = spark.range(0, 2 * SMALL_INPUT_THRESHOLD + 10)
+    with pytest.raises(ValueError, match="refusing to serialize"):
+        global_sequence(big, ["id"], approx_rows=10)
+
+    # honest small claim still works and is value-correct
+    small = spark.range(0, 50, 1, 4)
+    out = global_sequence(small, ["id"], approx_rows=50)
+    rows = sorted((r.id, r.seq) for r in out.collect())
+    assert rows == [(i, i) for i in range(50)]

@@ -61,9 +61,24 @@ def global_sequence(
     if approx_rows is not None and approx_rows <= SMALL_INPUT_THRESHOLD:
         from pyspark.sql import Window
 
+        # VERDICT r05 #7 guard: the claim is VERIFIED with a real count
+        # before the single-partition window — a stale/lying
+        # approx_rows must raise loudly here, not silently serialize a
+        # 100x-scale frame through one task. The count is one cheap job
+        # on an input the caller asserts is small (and it doubles as
+        # total_out, which previously cost the same count anyway).
+        n = df.count()
+        if n > 2 * SMALL_INPUT_THRESHOLD:
+            raise ValueError(
+                f"global_sequence: approx_rows={approx_rows} selected the "
+                f"small-input single-partition window but the input has "
+                f"{n} rows (> {2 * SMALL_INPUT_THRESHOLD}) — refusing to "
+                "serialize; pass approx_rows=None for the range-"
+                "partitioned path"
+            )
         w = Window.orderBy(*sort_cols)
         if total_out is not None:
-            total_out.append(df.count())
+            total_out.append(n)
         return df.withColumn(
             seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long")
         )
