@@ -38,6 +38,71 @@ def test_empty_input(spark):
     assert global_sequence(df, ["v"]).count() == 0
 
 
+# ------------------------------------------------- global_dense_rank
+
+
+def test_global_dense_rank_matches_window(spark):
+    """Sort-based dense rank == dense_rank() OVER (ORDER BY keys), with
+    heavy key duplication so ranks are shared across rows AND range
+    partitions carry repeated keys at their interiors."""
+    from vbpl_web_crawl_spark.operators.sequence import global_dense_rank
+
+    df = spark.range(20000).select(
+        ((F.col("id") * 2654435761) % 97).alias("a"),
+        ((F.col("id") * 48271) % 13).alias("b"),
+        F.col("id").alias("rowid"),
+    )
+    totals: list = []
+    got = global_dense_rank(
+        df, ["a", "b"], out_col="dr", start=5, num_partitions=16, total_out=totals
+    )
+    w = Window.orderBy("a", "b")
+    ref = df.withColumn("dr", (F.dense_rank().over(w) + 4).cast("long"))
+    a = {(r.a, r.b, r.rowid): r.dr for r in got.collect()}
+    b = {(r.a, r.b, r.rowid): r.dr for r in ref.collect()}
+    assert a == b
+    # total_out reports the exact distinct-key count (the suffix
+    # doubler's convergence signal)
+    assert totals == [df.select("a", "b").distinct().count()]
+    spark.catalog.clearCache()
+
+
+def test_global_dense_rank_chunk_carry(spark):
+    """A key group spanning Arrow chunk boundaries inside one partition
+    must not restart the rank: force tiny batches so every partition is
+    many chunks, with long runs of equal keys crossing them."""
+    from vbpl_web_crawl_spark.operators.sequence import global_dense_rank
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.range(3000).select(
+            (F.col("id") / 100).cast("long").alias("k"), F.col("id").alias("rowid")
+        )
+        got = global_dense_rank(df, ["k"], out_col="dr", num_partitions=3)
+        w = Window.orderBy("k")
+        ref = df.withColumn("dr", F.dense_rank().over(w).cast("long"))
+        a = {(r.k, r.rowid): r.dr for r in got.collect()}
+        b = {(r.k, r.rowid): r.dr for r in ref.collect()}
+        assert a == b
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    spark.catalog.clearCache()
+
+
+def test_global_dense_rank_empty_input(spark):
+    from vbpl_web_crawl_spark.operators.sequence import global_dense_rank
+
+    df = spark.createDataFrame([], "v int")
+    totals: list = []
+    assert global_dense_rank(df, ["v"], total_out=totals).count() == 0
+    assert totals == [0]
+    spark.catalog.clearCache()
+
+
 # ------------------------------------------------- grouped_cumsum
 
 

@@ -129,6 +129,118 @@ def global_sequence(
     return out
 
 
+def global_dense_rank(
+    df: DataFrame,
+    key_cols: list,
+    out_col: str = "drank",
+    start: int = 1,
+    num_partitions: int | None = None,
+    caches: list | None = None,
+    total_out: list | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = global DENSE rank (start, start+1, ...) of
+    the row's ``key_cols`` tuple in ascending key order — equal keys
+    share a rank — without a single-task window and without the
+    distinct + global_sequence + key-join detour (which shuffles the
+    input three more times: once for the distinct, once inside the
+    sequencer, once per join side).
+
+    Same machinery as :func:`global_sequence` with one twist: the
+    rank increments only where the sorted key CHANGES, so the
+    per-partition summary pass counts adjacent key changes instead of
+    rows. Correctness leans on range partitioning placing ALL copies
+    of an equal key in one partition (RangePartitioner assigns by
+    binary search over the sampled bounds, so equal keys can never
+    straddle a boundary); within a partition the sorted order makes
+    "new key" a vectorized adjacent-row comparison, carried across
+    Arrow chunk boundaries.
+
+    Keys must be non-null and of numpy-comparable types (ints/floats/
+    strings); the suffix-doubling caller passes int64 rank pairs.
+    Output equals ``dense_rank() OVER (ORDER BY key_cols)`` + start - 1
+    exactly (unit-tested against the window formulation).
+
+    ``caches`` / ``total_out`` follow the :func:`global_sequence`
+    contract; ``total_out`` receives the exact number of DISTINCT keys
+    (the suffix doubler's convergence check) as a free by-product of
+    the offset pass.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    kcols = list(key_cols)
+    # __pid baked into the cache, same union-stage-safety rationale as
+    # global_sequence above
+    ranged = (
+        df.repartitionByRange(num_partitions, *kcols)
+        .sortWithinPartitions(*kcols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    if caches is not None:
+        caches.append(ranged)
+
+    def _new_key_flags(k: "np.ndarray", last: "np.ndarray | None") -> "np.ndarray":
+        new = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            new[1:] = (k[1:] != k[:-1]).any(axis=1)
+        if last is not None and bool((k[0] == last).all()):
+            new[0] = False
+        return new
+
+    # summary pass: per-partition DISTINCT-key counts with no shuffle —
+    # the partition is sorted, so distinct = count of adjacent changes
+    cnt_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType()), T.StructField("__nd", T.LongType())]
+    )
+
+    def count_distinct(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, nd, last = None, 0, None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            k = pdf[kcols].to_numpy()
+            nd += int(_new_key_flags(k, last).sum())
+            last = k[-1]
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "__nd": [nd]})
+
+    counts = ranged.mapInPandas(count_distinct, cnt_schema).collect()
+    sizes = {r["__pid"]: r["__nd"] for r in counts}
+    if total_out is not None:
+        total_out.append(int(sum(sizes.values())))
+    offsets = {}
+    acc = start - 1
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+    cols = [f.name for f in out_schema.fields]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base, local, last = None, 0, None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = b_offsets.value.get(int(pdf["__pid"].iloc[0]), start - 1)
+            k = pdf[kcols].to_numpy()
+            new = _new_key_flags(k, last)
+            pdf = pdf.copy()
+            pdf[out_col] = base + local + np.cumsum(new).astype("int64")
+            local += int(new.sum())
+            last = k[-1]
+            yield pdf[cols]
+
+    return ranged.mapInPandas(assign, out_schema)
+
+
 def grouped_cumsum(
     df: DataFrame,
     group_cols: list,

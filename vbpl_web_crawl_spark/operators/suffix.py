@@ -25,17 +25,20 @@ Spark mapping — every step is a built-in relational op:
   (suffix shorter than 2k) maps to -1, which sorts BEFORE every real
   rank — exactly the "shorter string that is a prefix sorts first"
   rule of string comparison.
-- dense re-rank of pairs: ``global_sequence`` (operators/sequence.py)
-  over the DISTINCT (r1, r2) pairs — distinct pairs are unique, so
-  row_number == dense_rank — then a hash join maps every position to
-  its new rank. No single-task global window anywhere.
+- dense re-rank of pairs: ``global_dense_rank`` (operators/sequence.py)
+  range-sorts the positions by (r1, r2) and assigns the dense rank in
+  place — rank increments exactly where the sorted key changes, with
+  per-partition change counts prefix-summed on the driver. No
+  single-task global window anywhere, and no distinct frame or
+  rank-join: the new rank rides the same rows.
 
-Scale: every round is (window shuffle on doc_id) + (distinct shuffle
-on the 16-byte pair) + (range-partitioned sequence over <= N pairs) +
-(pair-key join). Rounds are log2(cap); state per row is 3 longs —
-document text never moves after the base explode. Rounds stop early
-once all ranks are distinct (every suffix separated — the common case
-long before depth cap on natural text).
+Scale: every round is (window shuffle on doc_id) + (ONE range shuffle
+on the 16-byte pair) + two scans of the range-sorted cache (a
+no-shuffle change-count summary, then the assignment). Rounds are
+log2(cap); state per row is 3 longs — document text never moves after
+the base explode. Rounds stop early once all ranks are distinct
+(every suffix separated — the common case long before depth cap on
+natural text).
 
 ``cap`` bounds the ranking depth: ranks group suffixes by their first
 ``cap`` characters (ties beyond that depth stay tied, matching
@@ -55,7 +58,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from vbpl_web_crawl_spark.operators.sequence import global_sequence
+from vbpl_web_crawl_spark.operators.sequence import global_dense_rank
 
 
 def remove_dup_spans(docs: DataFrame, cap: int, text_col: str = "text") -> DataFrame:
@@ -192,26 +195,27 @@ def suffix_ranks(
         paired = cur.withColumn(
             "r2", F.coalesce(F.lead("rank", k).over(w), F.lit(-1))
         )
-        pairs = paired.select("rank", "r2").distinct()
+        # fused sort-based re-rank: dense rank of (rank, r2) attached
+        # directly to every position. The former formulation (distinct
+        # pairs -> global_sequence -> pair join back) paid three extra
+        # corpus-sized exchanges per round — the distinct, the
+        # sequencer's range partition, and both join sides; dense rank
+        # over the sorted positions themselves needs only ONE range
+        # exchange, and row_number over distinct pairs == dense_rank
+        # over all pairs by definition, so the rank values are
+        # identical (oracle- and property-test-pinned).
         caches: list = []
         totals: list = []
-        ranked_pairs = global_sequence(
-            pairs,
+        nxt = global_dense_rank(
+            paired,
             ["rank", "r2"],
-            seq_col="new_rank",
+            out_col="new_rank",
             start=1,
             caches=caches,
             total_out=totals,
-        ).withColumnRenamed("rank", "r1")
-        nxt = (
-            paired.join(
-                ranked_pairs,
-                (paired.rank == ranked_pairs.r1) & (paired.r2 == ranked_pairs.r2),
-            )
-            .select("doc_id", "pos", F.col("new_rank").alias("rank"))
-        )
+        ).select("doc_id", "pos", F.col("new_rank").alias("rank"))
         # truncate lineage each round (iterative plans otherwise grow
-        # exponentially in analysis cost) and free the sequencer cache
+        # exponentially in analysis cost) and free the ranker cache
         nxt = nxt.localCheckpoint(eager=True)
         for c in caches:
             c.unpersist()
@@ -220,21 +224,19 @@ def suffix_ranks(
         k *= 2
         if early_stop and k < cap:
             # all suffixes separated -> further rounds are identity.
-            # The distinct-pair count IS the post-round distinct-rank
-            # count, and the sequencer already collected it per
+            # The distinct-key count IS the post-round distinct-rank
+            # count, and the ranker already collected it per
             # partition — the check costs no extra job.
             if totals and totals[0] == n_total:
                 break
     if not dense:
         # the packed base alone reached depth ``cap`` (d == cap):
         # ordinals are order-correct but sparse — one densify pass
-        keys = cur.select("rank").distinct()
         caches = []
-        rk = global_sequence(
-            keys, ["rank"], seq_col="new_rank", start=1, caches=caches
-        ).withColumnRenamed("rank", "r1")
         out = (
-            cur.join(rk, cur.rank == rk.r1)
+            global_dense_rank(
+                cur, ["rank"], out_col="new_rank", start=1, caches=caches
+            )
             .select("doc_id", "pos", F.col("new_rank").alias("rank"))
             .localCheckpoint(eager=True)
         )
