@@ -36,10 +36,9 @@ def test_builder_returns_runnable_sql(name, builder):
 
 def test_sequential_reference_is_memoized():
     # second call must be cache-hit (oracle_sql() is called per sweep;
-    # re-decoding 96 images + 24 videos each time would be waste)
-    import time
-
-    D.codec_matrix_oracle()
-    t0 = time.time()
-    D.codec_matrix_oracle()
-    assert time.time() - t0 < 0.01
+    # re-decoding 96 images + 24 videos each time would be waste).
+    # Asserted structurally — the returned string IS the cached object —
+    # rather than by wall-clock, which is flaky on a loaded host.
+    first = D.codec_matrix_oracle()
+    assert D._CACHE["codec"] is first
+    assert D.codec_matrix_oracle() is first

@@ -41,7 +41,7 @@ def test_containment_matches_naive_sets(spark):
     assert expect, "fixture corpus must contain contained pairs"
 
 
-def test_containment_is_asymmetric_on_excerpt(spark):
+def test_containment_is_asymmetric_on_excerpt(spark, tmp_path):
     """A strict excerpt (section page carved out of a fulltext parent,
     the reference's toan_van shape) is contained one way only — the
     whole point vs Jaccard, which scores this pair well below any
@@ -59,9 +59,9 @@ def test_containment_is_asymmetric_on_excerpt(spark):
         }
     )
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-        "/tmp/contain_fixture/documents.parquet"
+        str(tmp_path / "documents.parquet")
     )
-    rows = q_containment_pairs(spark, "/tmp/contain_fixture").collect()
+    rows = q_containment_pairs(spark, str(tmp_path)).collect()
     keys = {(r.doc_a, r.doc_b) for r in rows}
     assert (2, 1) in keys  # excerpt contained in parent
     assert (1, 2) not in keys  # parent NOT contained in excerpt
@@ -85,7 +85,7 @@ def test_minhash_estimate_error_bounds(spark):
     assert hi and hi[0].mean_abs_err <= 0.2  # k=8 -> sd ~ J(1-J)/sqrt(8)
 
 
-def test_quant_error_exact_on_constructed_vectors(spark):
+def test_quant_error_exact_on_constructed_vectors(spark, tmp_path):
     """On a hand-built frame the scales, clamping and cosine are
     exactly predictable: vectors along coordinate axes quantize
     losslessly (cos_sim == 1), and a vector at half-scale has the
@@ -102,10 +102,10 @@ def test_quant_error_exact_on_constructed_vectors(spark):
         }
     )
     df = spark.createDataFrame(pdf)
-    df.write.mode("overwrite").parquet("/tmp/quant_fixture/embeddings.parquet")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     out = {
         r.label: r
-        for r in q_embedding_int8_quant_error(spark, "/tmp/quant_fixture").collect()
+        for r in q_embedding_int8_quant_error(spark, str(tmp_path)).collect()
     }
     # scale per dim = 1.27/127 = 0.01; axis vectors land exactly on a
     # quantization level -> perfect cosine
